@@ -1,0 +1,210 @@
+"""The `Aligner`: validated search entry point.
+
+Parity with the reference ``pyopal.Aligner``
+(``/root/reference/src/pyopal/lib.pyx:1122-1383``): scoring matrix +
+gap parameters, alphabet derived from the matrix, parameter validation
+tables, and the ``align()`` method with ``mode`` / ``overflow`` /
+``algorithm`` / ``start`` / ``end``.
+
+Backend selection differs by design: instead of probing SIMD ISAs
+(``lib.pyx:1214-1227``) the aligner resolves the JAX backend — the
+Pallas TPU kernel on TPU, the vectorized XLA engine elsewhere.  The
+``overflow`` strategies (``simple`` / ``buckets``,
+``opal.pxd:14-15``) are validated for API parity but are no-ops: TPU
+vector lanes are 32-bit and every score is computed exactly in one
+pass, so overflow cannot occur and ``OverflowError`` is never raised.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .alphabet import Alphabet
+from .database import BaseDatabase
+from .matrices import ScoringMatrix
+from .ops import engine
+
+UINT32_MAX = 0xFFFFFFFF
+
+_SEARCH_MODES = ("score", "end", "full")
+_OVERFLOW_MODES = ("simple", "buckets")
+_ALGORITHMS = ("nw", "hw", "ov", "sw")
+
+
+class Aligner:
+    """A TPU-accelerated database-search aligner.
+
+    The `Aligner` implements an accelerated pipeline for computing
+    pairwise alignments between a query sequence and a database of
+    target sequences in parallel, mapping one database sequence to each
+    TPU vector lane (the TPU-native reimagining of Opal's
+    inter-sequence SIMD, ``README.md:26-28``).
+
+    Attributes:
+        scoring_matrix (`~pyopal_tpu.ScoringMatrix`): The scoring
+            matrix to use for the alignments.
+        alphabet (`~pyopal_tpu.Alphabet`): The alphabet for encoding
+            sequences before alignment (derived from the matrix).
+        gap_open (`int`): The gap opening penalty :math:`G`.
+        gap_extend (`int`): The gap extension penalty :math:`E`.
+
+    Hint:
+        A gap of length :math:`N` will receive a penalty of
+        :math:`G + (N - 1)E`.
+
+    """
+
+    _DEFAULT_SCORING_MATRIX = ScoringMatrix.from_name("BLOSUM50")
+    _DEFAULT_GAP_OPEN = 3
+    _DEFAULT_GAP_EXTEND = 1
+
+    def __init__(
+        self,
+        scoring_matrix=None,
+        gap_open: int = _DEFAULT_GAP_OPEN,
+        gap_extend: int = _DEFAULT_GAP_EXTEND,
+    ):
+        """Create a new aligner with the given parameters.
+
+        Arguments:
+            scoring_matrix (`~pyopal_tpu.ScoringMatrix` or `str`): The
+                scoring matrix, either as a `ScoringMatrix` object or
+                as the name of a bundled matrix to load with
+                `ScoringMatrix.from_name`.
+            gap_open (`int`): The gap opening penalty.
+            gap_extend (`int`): The gap extension penalty.
+
+        Raises:
+            `ValueError`: When the given scoring matrix is not an
+                integer matrix.
+            `TypeError`: When ``scoring_matrix`` is neither a name nor
+                a `ScoringMatrix`.
+
+        """
+        if scoring_matrix is None:
+            self.scoring_matrix = self._DEFAULT_SCORING_MATRIX
+        elif isinstance(scoring_matrix, str):
+            self.scoring_matrix = ScoringMatrix.from_name(scoring_matrix)
+        elif isinstance(scoring_matrix, ScoringMatrix):
+            self.scoring_matrix = scoring_matrix
+        else:
+            ty = type(scoring_matrix).__name__
+            raise TypeError(f"expected str or ScoringMatrix, found {ty}")
+
+        self.alphabet = Alphabet(self.scoring_matrix.alphabet)
+        self.gap_open = int(gap_open)
+        self.gap_extend = int(gap_extend)
+
+        if not self.scoring_matrix.is_integer():
+            raise ValueError("Integer scoring matrix is expected")
+        self._int_matrix = self.scoring_matrix.int_data()
+
+    def __repr__(self):
+        args = []
+        if self.scoring_matrix != self._DEFAULT_SCORING_MATRIX:
+            args.append(f"{self.scoring_matrix!r}")
+        if self.gap_open != self._DEFAULT_GAP_OPEN:
+            args.append(f"gap_open={self.gap_open!r}")
+        if self.gap_extend != self._DEFAULT_GAP_EXTEND:
+            args.append(f"gap_extend={self.gap_extend!r}")
+        return f"{type(self).__name__}({', '.join(args)})"
+
+    def __reduce__(self):
+        return type(self), (self.scoring_matrix, self.gap_open, self.gap_extend)
+
+    def __eq__(self, other):
+        if not isinstance(other, Aligner):
+            return NotImplemented
+        return self.__reduce__()[1] == other.__reduce__()[1]
+
+    def __hash__(self):
+        return hash((Aligner, self.scoring_matrix, self.gap_open, self.gap_extend))
+
+    def align(
+        self,
+        query,
+        database,
+        *,
+        mode: str = "score",
+        overflow: str = "buckets",
+        algorithm: str = "sw",
+        start: int = 0,
+        end: int = UINT32_MAX,
+    ):
+        """Align the query sequence to all targets of the database.
+
+        Arguments:
+            query (`str` or byte-like object): The sequence to query
+                the database with.
+            database (`~pyopal_tpu.BaseDatabase`): The database
+                sequences to align the query to.
+
+        Keyword Arguments:
+            mode (`str`): ``score`` to only report scores (default),
+                ``end`` to also report end coordinates, ``full`` to
+                report full alignments.
+            overflow (`str`): ``simple`` or ``buckets``; accepted for
+                API parity with the reference precision-escalation
+                pipeline — the TPU engines compute every score exactly
+                in 32-bit lanes, so neither strategy can overflow.
+            algorithm (`str`): ``nw`` (global), ``hw`` (semi-global,
+                free gaps on query edges), ``ov`` (overlap), or ``sw``
+                (local, default).
+            start (`int`): Start offset in the database.
+            end (`int`): End offset in the database.
+
+        Returns:
+            `list` of `~pyopal_tpu.ScoreResult`: One result per target
+            in ``database[start:end]``; the actual type depends on
+            ``mode`` (`ScoreResult` / `EndResult` / `FullResult`), and
+            ``target_index`` is always the global database index.
+
+        Raises:
+            `ValueError`: When any parameter is invalid or the database
+                alphabet differs from the aligner's.
+            `IndexError`: When ``end`` is lower than ``start``.
+
+        """
+        if query is None:
+            raise TypeError("query cannot be None")
+        if database is None:
+            raise TypeError("database cannot be None")
+        if not isinstance(database, BaseDatabase):
+            ty = type(database).__name__
+            raise TypeError(f"expected BaseDatabase, found {ty}")
+
+        if mode not in _SEARCH_MODES:
+            raise ValueError(f"invalid search mode: {mode!r}")
+        if overflow not in _OVERFLOW_MODES:
+            raise ValueError(f"invalid overflow mode: {overflow!r}")
+        if algorithm not in _ALGORITHMS:
+            raise ValueError(f"invalid algorithm: {algorithm!r}")
+
+        if database.alphabet != self.alphabet:
+            raise ValueError(
+                "database and score matrix have different alphabets"
+            )
+
+        encoded = np.frombuffer(
+            database.alphabet.encode(query), dtype=np.uint8
+        )
+
+        with database.lock.read:
+            size = database.get_size()
+            if end < start:
+                raise IndexError("database slice end is lower than start")
+            if end > size:
+                end = size
+            if start > end:
+                return []
+            return engine.search(
+                database,
+                encoded,
+                self._int_matrix,
+                self.gap_open,
+                self.gap_extend,
+                mode,
+                algorithm,
+                start,
+                end,
+            )

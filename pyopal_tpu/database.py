@@ -1,0 +1,409 @@
+"""Sequence databases: host staging store + device-packed layout cache.
+
+TPU-native re-design of the reference containers
+(``/root/reference/src/pyopal/lib.pyx:337-778``).  The reference stores
+encoded sequences as C++ ``shared_ptr`` payloads with zero-copy
+subsetting; here each sequence is an immutable ``numpy.uint8`` array and
+subsetting (`mask` / `extract` / slicing) shares the arrays without
+copying.  A read/write lock mirrors the reference ``SharedMutex``
+semantics (``lib.pyx:153-181``) so the database can be mutated from one
+thread while searches run in others.
+
+On top of the staging store, `Database` memoizes the *packed device
+layout* (length-bucketed, padded ``[T_pad, LANES]`` blocks — see
+``pyopal_tpu.ops.packing``) keyed by a mutation version counter, so
+repeated searches against an unchanged database skip re-packing and
+re-uploading to HBM.
+"""
+
+from __future__ import annotations
+
+import threading
+
+import numpy as np
+
+from .alphabet import Alphabet
+
+
+class SharedMutex:
+    """A read/write lock with ``.read`` / ``.write`` context managers.
+
+    Python equivalent of the C++17 ``std::shared_mutex`` wrapper of the
+    reference (``lib.pyx:153-181``): multiple concurrent readers, one
+    exclusive writer.
+    """
+
+    def __init__(self) -> None:
+        self._cond = threading.Condition(threading.Lock())
+        self._readers = 0
+        self._writer = False
+        self.read = ReadLock(self)
+        self.write = WriteLock(self)
+
+    # low-level ops ---------------------------------------------------------
+
+    def lock_shared(self) -> None:
+        with self._cond:
+            while self._writer:
+                self._cond.wait()
+            self._readers += 1
+
+    def unlock_shared(self) -> None:
+        with self._cond:
+            self._readers -= 1
+            if self._readers == 0:
+                self._cond.notify_all()
+
+    def lock(self) -> None:
+        with self._cond:
+            while self._writer or self._readers:
+                self._cond.wait()
+            self._writer = True
+
+    def unlock(self) -> None:
+        with self._cond:
+            self._writer = False
+            self._cond.notify_all()
+
+
+class ReadLock:
+    def __init__(self, owner: SharedMutex) -> None:
+        self.owner = owner
+
+    def __enter__(self):
+        self.owner.lock_shared()
+        return self
+
+    def __exit__(self, exc_type, exc_value, traceback):
+        self.owner.unlock_shared()
+
+
+class WriteLock:
+    def __init__(self, owner: SharedMutex) -> None:
+        self.owner = owner
+
+    def __enter__(self):
+        self.owner.lock()
+        return self
+
+    def __exit__(self, exc_type, exc_value, traceback):
+        self.owner.unlock()
+
+
+class BaseDatabase:
+    """The base class for views of database sequences.
+
+    Subclasses must implement `get_size`, `get_lengths` and
+    `get_encoded` to expose encoded sequences to `Aligner.align`
+    (reference interface at ``lib.pyx:337-466``).
+
+    Attributes:
+        alphabet (`~pyopal_tpu.Alphabet`): The alphabet used for
+            encoding the sequences stored in the database.
+        lock (`~pyopal_tpu.database.SharedMutex`): A read-write lock to
+            synchronize accesses to the database.
+
+    """
+
+    _DEFAULT_ALPHABET = Alphabet()
+
+    def __init__(self, sequences=(), alphabet=None) -> None:
+        self.lock = SharedMutex()
+        if alphabet is None:
+            self.alphabet = self._DEFAULT_ALPHABET
+        elif isinstance(alphabet, Alphabet):
+            self.alphabet = alphabet
+        else:
+            self.alphabet = Alphabet(alphabet)
+        if sequences:
+            raise TypeError("cannot create a `BaseDatabase` with sequences")
+
+    # --- Database interface (override in subclasses) -----------------------
+
+    def get_size(self) -> int:
+        return 0
+
+    def get_lengths(self):
+        raise NotImplementedError("BaseDatabase.get_lengths")
+
+    def get_encoded(self, index: int) -> np.ndarray:
+        """Return sequence ``index`` as an encoded ``uint8`` array."""
+        raise NotImplementedError("BaseDatabase.get_encoded")
+
+    def get_version(self) -> int:
+        """A counter increased on every mutation (packing cache key)."""
+        return 0
+
+    # --- Properties ---------------------------------------------------------
+
+    @property
+    def lengths(self):
+        """`list` of `int`: The length of each sequence in the database."""
+        with self.lock.read:
+            return [int(x) for x in self.get_lengths()]
+
+    @property
+    def total_length(self):
+        """`int`: The total length of the database."""
+        with self.lock.read:
+            return int(sum(self.get_lengths()))
+
+    # --- Sequence interface -------------------------------------------------
+
+    def __contains__(self, query) -> bool:
+        encoded = np.frombuffer(self.alphabet.encode(query), dtype=np.uint8)
+        with self.lock.read:
+            for i in range(self.get_size()):
+                seq = self.get_encoded(i)
+                if seq.shape[0] == encoded.shape[0] and np.array_equal(
+                    seq, encoded
+                ):
+                    return True
+        return False
+
+    def __len__(self) -> int:
+        with self.lock.read:
+            return self.get_size()
+
+    def __iter__(self):
+        for i in range(len(self)):
+            yield self[i]
+
+    def __getitem__(self, index):
+        import operator
+
+        index_ = operator.index(index)
+        with self.lock.read:
+            size = self.get_size()
+            if index_ < 0:
+                index_ += size
+            if index_ < 0 or index_ >= size:
+                raise IndexError(index)
+            seq = self.get_encoded(index_)
+        return self.alphabet.decode(seq)
+
+
+class Database(BaseDatabase):
+    """A database of target sequences.
+
+    Sequences are stored ordinal-encoded (one immutable ``numpy.uint8``
+    array each); `mask`/`extract`/slicing share the underlying arrays
+    with zero copies (reference: ``shared_ptr`` aliasing at
+    ``lib.pyx:694-778``).
+
+    Example:
+        >>> db = Database(["ATGC"])
+        >>> db.extend(["TTCA", "AAAA", "GGTG"])
+        >>> list(db)
+        ['ATGC', 'TTCA', 'AAAA', 'GGTG']
+
+    """
+
+    def __init__(self, sequences=(), alphabet=None) -> None:
+        super().__init__(alphabet=alphabet)
+        self._sequences: list = []
+        self._version = 0
+        self._pack_cache: dict = {}
+        self.extend(sequences)
+
+    def __reduce__(self):
+        return (type(self), ((), self.alphabet), None, iter(self))
+
+    # --- Database interface -------------------------------------------------
+
+    def get_size(self) -> int:
+        return len(self._sequences)
+
+    def get_lengths(self):
+        return [seq.shape[0] for seq in self._sequences]
+
+    def get_encoded(self, index: int) -> np.ndarray:
+        return self._sequences[index]
+
+    def get_version(self) -> int:
+        return self._version
+
+    def _bump(self) -> None:
+        self._version += 1
+        self._pack_cache.clear()
+
+    # --- Encoding utility ----------------------------------------------------
+
+    def _encode(self, sequence) -> np.ndarray:
+        if isinstance(sequence, str):
+            sequence = sequence.encode("ascii")
+        seq = np.frombuffer(memoryview(sequence), dtype=np.uint8)
+        encoded = self.alphabet._encode_array(seq)
+        encoded.setflags(write=False)
+        return encoded
+
+    # --- Sequence interface ---------------------------------------------------
+
+    def __getitem__(self, index):
+        if isinstance(index, slice):
+            indices = range(*index.indices(len(self)))
+            return self.extract(indices)
+        return super().__getitem__(index)
+
+    def __setitem__(self, index, sequence) -> None:
+        import operator
+
+        index_ = operator.index(index)
+        encoded = self._encode(sequence)
+        with self.lock.write:
+            size = len(self._sequences)
+            if index_ < 0:
+                index_ += size
+            if index_ < 0 or index_ >= size:
+                raise IndexError(index)
+            self._sequences[index_] = encoded
+            self._bump()
+
+    def __delitem__(self, index) -> None:
+        import operator
+
+        index_ = operator.index(index)
+        with self.lock.write:
+            size = len(self._sequences)
+            if index_ < 0:
+                index_ += size
+            if index_ < 0 or index_ >= size:
+                raise IndexError(index)
+            del self._sequences[index_]
+            self._bump()
+
+    def clear(self) -> None:
+        """Remove all sequences from the database."""
+        with self.lock.write:
+            self._sequences.clear()
+            self._bump()
+
+    def extend(self, sequences) -> None:
+        """Extend the database by adding sequences from an iterable.
+
+        Example:
+            >>> db = Database(["ATGC"])
+            >>> db.extend(["TTCA", "AAAA", "GGTG"])
+            >>> list(db)
+            ['ATGC', 'TTCA', 'AAAA', 'GGTG']
+
+        """
+        for sequence in sequences:
+            self.append(sequence)
+
+    def append(self, sequence) -> None:
+        """Append a single sequence at the end of the database.
+
+        Example:
+            >>> db = Database(["ATGC", "TTCA"])
+            >>> db.append("AAAA")
+            >>> list(db)
+            ['ATGC', 'TTCA', 'AAAA']
+
+        """
+        encoded = self._encode(sequence)
+        with self.lock.write:
+            self._sequences.append(encoded)
+            self._bump()
+
+    def reverse(self) -> None:
+        """Reverse the database, in place.
+
+        Example:
+            >>> db = Database(['ATGC', 'TTGC', 'CTGC'])
+            >>> db.reverse()
+            >>> list(db)
+            ['CTGC', 'TTGC', 'ATGC']
+
+        """
+        with self.lock.write:
+            self._sequences.reverse()
+            self._bump()
+
+    def insert(self, index, sequence) -> None:
+        """Insert a sequence in the database at a given position.
+
+        If the insertion index is out of bounds, the insertion will
+        happen at either end of the database::
+
+            >>> db = Database(["ATGC", "TTGC", "CTGC"])
+            >>> db.insert(-100, "TTTT")
+            >>> db.insert(100, "AAAA")
+            >>> list(db)
+            ['TTTT', 'ATGC', 'TTGC', 'CTGC', 'AAAA']
+
+        """
+        import operator
+
+        index_ = operator.index(index)
+        encoded = self._encode(sequence)
+        with self.lock.write:
+            size = len(self._sequences)
+            if index_ < 0:
+                index_ += size
+            if index_ < 0:
+                index_ = 0
+            elif index_ >= size:
+                index_ = size
+            self._sequences.insert(index_, encoded)
+            self._bump()
+
+    # --- Subset ---------------------------------------------------------------
+
+    def mask(self, bitmask) -> "Database":
+        """Extract the subset of the database where the bitmask is `True`.
+
+        Raises:
+            `IndexError`: When the bitmask has a different dimension.
+
+        Example:
+            >>> db = Database(['AAAA', 'CCCC', 'KKKK', 'FFFF'])
+            >>> list(db.mask([True, False, False, True]))
+            ['AAAA', 'FFFF']
+
+        """
+        subdb = Database.__new__(Database)
+        BaseDatabase.__init__(subdb, alphabet=self.alphabet)
+        subdb._sequences = []
+        subdb._version = 0
+        subdb._pack_cache = {}
+        with self.lock.read:
+            size = self.get_size()
+            i = 0
+            for b in bitmask:
+                if i >= size:
+                    raise IndexError(bitmask)
+                if b:
+                    subdb._sequences.append(self._sequences[i])
+                i += 1
+            if i < size:
+                raise IndexError(bitmask)
+        return subdb
+
+    def extract(self, indices) -> "Database":
+        """Extract a subset of the database using the given indices.
+
+        Raises:
+            `IndexError`: When ``indices`` contains an invalid index.
+
+        Example:
+            >>> db = Database(['AAAA', 'CCCC', 'KKKK', 'FFFF'])
+            >>> list(db.extract([2, 0]))
+            ['KKKK', 'AAAA']
+
+        Caution:
+            Negative indexing is not supported.
+
+        """
+        subdb = Database.__new__(Database)
+        BaseDatabase.__init__(subdb, alphabet=self.alphabet)
+        subdb._sequences = []
+        subdb._version = 0
+        subdb._pack_cache = {}
+        with self.lock.read:
+            size = self.get_size()
+            for index in indices:
+                if index < 0 or index >= size:
+                    raise IndexError(index)
+                subdb._sequences.append(self._sequences[index])
+        return subdb

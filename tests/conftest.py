@@ -1,0 +1,21 @@
+"""Test configuration: force the CPU backend with 8 virtual devices.
+
+Tests exercise exact integer DP semantics, which are backend-independent
+(the Pallas kernel is additionally validated in interpreter mode and by
+TPU-side checks in bench.py).  An 8-device simulated mesh validates the
+multi-device sharding path without TPU hardware, per the reference test
+strategy analog (SURVEY.md section 4).
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8"
+)
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+# the sandbox sitecustomize pins JAX_PLATFORMS=axon; override explicitly
+jax.config.update("jax_platforms", "cpu")

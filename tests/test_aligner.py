@@ -1,0 +1,184 @@
+"""Aligner golden tests — mirrors reference ``tests/test_aligner.py``.
+
+The pinned numbers (NW=44, SW=47, ends/starts/coverage) come from the
+reference test suite and are the primary correctness contract
+(``/root/reference/src/pyopal/tests/test_aligner.py:38-131``).
+"""
+
+import random
+
+import pytest
+
+import pyopal_tpu
+from pyopal_tpu import Aligner, Database, ScoringMatrix
+
+
+class TestAlignerInit:
+    def test_init_scoring_matrix_str(self):
+        matrix = ScoringMatrix.from_name("BLOSUM62")
+        aligner = Aligner("BLOSUM62")
+        assert aligner.scoring_matrix == matrix
+
+    def test_init_scoring_matrix_object(self):
+        matrix = ScoringMatrix.from_name("BLOSUM62")
+        aligner = Aligner(matrix)
+        assert aligner.scoring_matrix == matrix
+
+    def test_init_scoring_matrix_error(self):
+        with pytest.raises(TypeError):
+            Aligner(1)
+
+    def test_init_non_integer_matrix(self):
+        m = ScoringMatrix([[1.5, -1.0], [-1.0, 1.5]], "AC")
+        with pytest.raises(ValueError):
+            Aligner(m)
+
+    def test_pickle_eq(self):
+        import pickle
+
+        a = Aligner("BLOSUM62", gap_open=5, gap_extend=2)
+        b = pickle.loads(pickle.dumps(a))
+        assert a == b
+
+
+class _TestSearchOverflow:
+    """Long-sequence stress envelope (reference lengths 1000..35000).
+
+    The reference exercises the int8->int16->int32 escalation here; the
+    TPU engines are 32-bit throughout, so this validates long-sequence
+    numerical behavior and the long-query fallback path instead.
+    """
+
+    algorithm = NotImplemented
+
+    def test_overflow(self):
+        r = random.Random(0)
+        alphabet = "ACDEFGHIKLMNPQRSTVWY"
+        proteins = [
+            "".join(r.choices(alphabet, k=k))
+            for k in range(1000, 36000, 8000)
+        ]
+        database = Database(proteins)
+        aligner = Aligner()
+        results = aligner.align(
+            proteins[0], database, mode="score", algorithm=self.algorithm
+        )
+        assert len(results) == len(proteins)
+        for res in results:
+            assert isinstance(res.score, int)
+
+
+class TestSearchNW(_TestSearchOverflow):
+    algorithm = "nw"
+
+    def test_test1(self):
+        # #0: 44 (0, 0) (5, 7)
+        # T: AACCGCTG (0 - 7)
+        # Q: _ACCTC_G (0 - 5)
+        query = "ACCTCG"
+        target = "AACCGCTG"
+        aligner = Aligner()
+        db = Database([target])
+
+        results = aligner.align(query, db, algorithm=self.algorithm)
+        assert len(db) == 1
+        assert isinstance(results[0], pyopal_tpu.ScoreResult)
+        assert results[0].score == 44
+
+        results = aligner.align(query, db, algorithm=self.algorithm, mode="score")
+        assert isinstance(results[0], pyopal_tpu.ScoreResult)
+        assert results[0].score == 44
+
+        results = aligner.align(query, db, algorithm=self.algorithm, mode="end")
+        assert isinstance(results[0], pyopal_tpu.EndResult)
+        assert results[0].score == 44
+        assert results[0].query_end == 5
+        assert results[0].target_end == 7
+
+        results = aligner.align(query, db, algorithm=self.algorithm, mode="full")
+        assert isinstance(results[0], pyopal_tpu.FullResult)
+        assert results[0].score == 44
+        assert results[0].alignment is not None
+        assert results[0].query_start == 0
+        assert results[0].query_end == 5
+        assert results[0].target_start == 0
+        assert results[0].target_end == 7
+        assert results[0].coverage("query") == 1
+        assert results[0].coverage("target") == 7 / 8
+        assert results[0].cigar() == "1D5M1D1M"
+
+
+class TestSearchOV(_TestSearchOverflow):
+    algorithm = "ov"
+
+
+class TestSearchHW(_TestSearchOverflow):
+    algorithm = "hw"
+
+
+class TestSearchSW(_TestSearchOverflow):
+    algorithm = "sw"
+
+    def test_test1(self):
+        # #0: 47 (0, 1) (5, 7)
+        # T: ACCGCTG (1 - 7)
+        # Q: ACCTC_G (0 - 5)
+        query = "ACCTCG"
+        target = "AACCGCTG"
+        aligner = Aligner()
+        db = Database([target])
+
+        results = aligner.align(query, db, algorithm=self.algorithm)
+        assert isinstance(results[0], pyopal_tpu.ScoreResult)
+        assert results[0].score == 47
+
+        results = aligner.align(query, db, algorithm=self.algorithm, mode="end")
+        assert isinstance(results[0], pyopal_tpu.EndResult)
+        assert results[0].score == 47
+        assert results[0].query_end == 5
+        assert results[0].target_end == 7
+
+        results = aligner.align(query, db, algorithm=self.algorithm, mode="full")
+        assert isinstance(results[0], pyopal_tpu.FullResult)
+        assert results[0].score == 47
+        assert results[0].alignment is not None
+        assert results[0].query_start == 0
+        assert results[0].query_end == 5
+        assert results[0].target_start == 1
+        assert results[0].target_end == 7
+        assert results[0].coverage("query") == pytest.approx(1)
+        assert results[0].coverage("target") == pytest.approx(7 / 8)
+
+
+class TestAlignErrors:
+    def test_invalid_mode(self):
+        with pytest.raises(ValueError):
+            Aligner().align("A", Database(["A"]), mode="nonsense")
+
+    def test_invalid_overflow(self):
+        with pytest.raises(ValueError):
+            Aligner().align("A", Database(["A"]), overflow="nonsense")
+
+    def test_invalid_algorithm(self):
+        with pytest.raises(ValueError):
+            Aligner().align("A", Database(["A"]), algorithm="nonsense")
+
+    def test_alphabet_mismatch(self):
+        db = Database(["ATGC"], alphabet="ATGC")
+        with pytest.raises(ValueError):
+            Aligner().align("ATGC", db)
+
+    def test_slice_end_lower_than_start(self):
+        db = Database(["AAAA", "CCCC"])
+        with pytest.raises(IndexError):
+            Aligner().align("AAAA", db, start=1, end=0)
+
+    def test_empty_database(self):
+        assert Aligner().align("AAAA", Database([])) == []
+
+    def test_slice(self):
+        db = Database(["AAAA", "CCCC", "AAAA"])
+        results = Aligner().align("AAAA", db, start=1)
+        assert [r.target_index for r in results] == [1, 2]
+        results = Aligner().align("AAAA", db, start=1, end=2)
+        assert [r.target_index for r in results] == [1]

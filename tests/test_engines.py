@@ -1,0 +1,145 @@
+"""Engine cross-validation: naive oracle vs XLA engine vs Pallas kernel.
+
+The TPU analog of the reference's golden-answer strategy: every engine
+must produce identical scores and end locations on randomized inputs
+covering all four algorithms, adversarial gap parameters (including
+ge > go and zero penalties), empty targets, and lengths crossing the
+kernel's column-chunk boundary.
+"""
+
+import numpy as np
+import pytest
+
+from pyopal_tpu.matrices import ScoringMatrix
+from pyopal_tpu.ops import naive, packing, xla
+
+S = ScoringMatrix.from_name("BLOSUM50").int_data()
+ALGOS = ["nw", "hw", "ov", "sw"]
+GAPS = [(3, 1), (2, 1), (5, 2), (1, 3), (0, 0), (4, 4), (0, 2)]
+
+
+def _random_case(rng, Q_max=40, T_max=60, B=8):
+    Q = int(rng.integers(1, Q_max))
+    q = rng.integers(0, 24, Q).astype(np.uint8)
+    lens = rng.integers(0, T_max, B).astype(np.int32)
+    T_pad = int(max(16, lens.max() if B else 16))
+    tgt = np.zeros((T_pad, B), dtype=np.int32)
+    seqs = []
+    for b in range(B):
+        s = rng.integers(0, 24, lens[b]).astype(np.uint8)
+        seqs.append(s)
+        tgt[: lens[b], b] = s
+    return q, seqs, tgt, lens
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+@pytest.mark.parametrize("gaps", GAPS)
+def test_xla_matches_naive(algo, gaps):
+    go, ge = gaps
+    rng = np.random.default_rng(hash((algo, gaps)) % 2**32)
+    q, seqs, tgt, lens = _random_case(rng)
+    prof = xla.make_profile_t(q, S)
+    sc, qe, te = [
+        np.asarray(x) for x in xla.search_block(prof, tgt, lens, go, ge, algo)
+    ]
+    for b, seq in enumerate(seqs):
+        ns, nqe, nte = naive.score_end(q, seq, S, go, ge, algo)
+        assert ns == sc[b], (algo, gaps, b)
+        if lens[b] > 0:
+            assert (nqe, nte) == (qe[b], te[b]), (algo, gaps, b)
+
+
+@pytest.mark.parametrize("algo", ALGOS)
+def test_pallas_interpret_matches_naive(algo):
+    from pyopal_tpu.ops import pallas_kernel as pk
+
+    go, ge = 3, 1
+    rng = np.random.default_rng(99)
+    Q = 13
+    q = rng.integers(0, 24, Q).astype(np.uint8)
+    lanes = 128
+    # lengths straddling the 256-column chunk boundary
+    lens = rng.integers(0, 300, lanes).astype(np.int32)
+    lens[:6] = [0, 255, 256, 257, 300, 1]
+    T_pad = 512
+    tgt = np.zeros((1, T_pad, lanes), dtype=np.int32)
+    seqs = []
+    for b in range(lanes):
+        s = rng.integers(0, 24, lens[b]).astype(np.uint8)
+        seqs.append(s)
+        tgt[0, : lens[b], b] = s
+    prof = pk.make_profile(q, S)
+    sc, qe, te = [
+        np.asarray(x)
+        for x in pk.search_group(
+            prof, tgt, lens.reshape(1, lanes), go, ge, algo, interpret=True
+        )
+    ]
+    for b in range(0, lanes, 11):
+        ns, nqe, nte = naive.score_end(q, seqs[b], S, go, ge, algo)
+        assert ns == sc[0, b], (algo, b, lens[b])
+        if lens[b] > 0:
+            assert (nqe, nte) == (qe[0, b], te[0, b]), (algo, b, lens[b])
+
+
+def test_traceback_score_consistency():
+    """Traceback score must equal the score-only DP on random pairs."""
+    rng = np.random.default_rng(3)
+    for algo in ALGOS:
+        for _ in range(5):
+            q = rng.integers(0, 24, int(rng.integers(1, 30))).astype(np.uint8)
+            t = rng.integers(0, 24, int(rng.integers(1, 40))).astype(np.uint8)
+            score, qs, ts, qe, te, ops = naive.traceback(q, t, S, 3, 1, algo)
+            s2, qe2, te2 = naive.score_end(q, t, S, 3, 1, algo)
+            assert score == s2
+            assert (qe, te) == (qe2, te2)
+            # replay the ops to re-derive the score
+            i, j, total, in_gap = qs, ts, 0, 0
+            for op in ops:
+                if op in (0, 3):  # M/X
+                    total += int(S[q[i], t[j]])
+                    i += 1
+                    j += 1
+                    in_gap = 0
+                elif op == 1:  # D: query residue vs gap
+                    total -= 3 if in_gap != 1 else 1
+                    in_gap = 1
+                    i += 1
+                else:  # I: target residue vs gap
+                    total -= 3 if in_gap != 2 else 1
+                    in_gap = 2
+                    j += 1
+            if algo == "nw":
+                # add boundary gaps outside [qs, qe] / [ts, te]
+                pass  # nw traceback covers the whole matrix path
+            if algo == "sw":
+                assert total == score
+            assert (i, j) == (qe + 1, te + 1)
+
+
+def test_packing_roundtrip():
+    rng = np.random.default_rng(5)
+    seqs = [
+        rng.integers(0, 24, int(rng.integers(1, 200))).astype(np.uint8)
+        for _ in range(300)
+    ]
+    packed = packing.pack_sequences(seqs)
+    assert packed.n_targets == 300
+    seen = {}
+    for g in packed.groups:
+        nblk, t_pad, lanes = g.targets.shape
+        assert g.t_pad == t_pad
+        for blk in range(nblk):
+            for lane in range(lanes):
+                i = g.indices[blk, lane]
+                if i < 0:
+                    assert g.lengths[blk, lane] == 0
+                    continue
+                n = g.lengths[blk, lane]
+                assert n == len(seqs[i])
+                assert np.array_equal(
+                    g.targets[blk, :n, lane], seqs[i]
+                )
+                seen[i] = seen.get(i, 0) + 1
+    assert sorted(seen) == list(range(300))
+    assert all(v == 1 for v in seen.values())

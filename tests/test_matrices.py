@@ -1,0 +1,78 @@
+"""Scoring matrix provider tests."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from pyopal_tpu import ScoringMatrix
+
+
+def test_from_name():
+    m = ScoringMatrix.from_name("BLOSUM50")
+    assert m.name == "BLOSUM50"
+    assert m.alphabet == "ARNDCQEGHILKMFPSTWYVBZX*"
+    assert m.size() == 24
+    assert m.is_integer()
+
+
+def test_from_name_unknown():
+    with pytest.raises(ValueError):
+        ScoringMatrix.from_name("NOPE99")
+
+
+def test_all_bundled_are_valid():
+    for name in ScoringMatrix.available_matrices():
+        m = ScoringMatrix.from_name(name)
+        assert m.size() == len(m.alphabet)
+        assert m.is_integer(), name
+        assert m.is_symmetric(), name
+
+
+def test_blosum50_golden_entries():
+    # entries that pin the reference golden scores (NW=44 / SW=47)
+    m = ScoringMatrix.from_name("BLOSUM50")
+    a = m.alphabet
+    get = lambda x, y: m.data[a.index(x), a.index(y)]
+    assert get("A", "A") == 5
+    assert get("C", "C") == 13
+    assert get("G", "G") == 8
+    assert get("G", "T") == -2
+    assert get("T", "T") == 5
+    assert get("W", "W") == 15
+
+
+def test_from_match_mismatch():
+    m = ScoringMatrix.from_match_mismatch(2, -3, "ACGT")
+    assert m.alphabet == "ACGT"
+    assert m.data[0, 0] == 2
+    assert m.data[0, 1] == -3
+    assert m.is_integer()
+
+
+def test_from_diagonal():
+    m = ScoringMatrix.from_diagonal([1, 2, 3, 4], -1, "ACGT")
+    assert m.data[2, 2] == 3
+    assert m.data[0, 1] == -1
+
+
+def test_custom_matrix_validation():
+    with pytest.raises(ValueError):
+        ScoringMatrix(np.zeros((3, 4)), "ACG")
+    with pytest.raises(ValueError):
+        ScoringMatrix(np.zeros((3, 3)), "ACGT")
+
+
+def test_eq_pickle_repr():
+    m1 = ScoringMatrix.from_name("BLOSUM62")
+    m2 = pickle.loads(pickle.dumps(m1))
+    assert m1 == m2
+    assert m1 != ScoringMatrix.from_name("BLOSUM50")
+    assert "BLOSUM62" in repr(m1)
+
+
+def test_non_integer():
+    m = ScoringMatrix([[1.5, -1.0], [-1.0, 1.5]], "AC")
+    assert not m.is_integer()
+    with pytest.raises(ValueError):
+        m.int_data()
