@@ -208,3 +208,87 @@ class Aligner:
                 start,
                 end,
             )
+
+    def align_batch(
+        self,
+        queries,
+        database,
+        *,
+        mode: str = "score",
+        overflow: str = "buckets",
+        algorithm: str = "sw",
+        start: int = 0,
+        end: int = UINT32_MAX,
+    ):
+        """Align several query sequences against the database, pipelined.
+
+        TPU-native extension over the reference API: all queries'
+        kernel dispatches are issued asynchronously and the results
+        come back in a single device readback, so dispatch/transfer
+        latency is amortized across the query stream.  Semantically
+        equivalent to ``[self.align(q, database, ...) for q in
+        queries]``.
+
+        Arguments and result types match `align`; returns a list with
+        one result list per query.  Only ``score`` and ``end`` modes
+        are supported (use `align` for ``full`` mode realignment of
+        selected hits).
+        """
+        if mode not in ("score", "end"):
+            raise ValueError(f"invalid batch search mode: {mode!r}")
+        if overflow not in _OVERFLOW_MODES:
+            raise ValueError(f"invalid overflow mode: {overflow!r}")
+        if algorithm not in _ALGORITHMS:
+            raise ValueError(f"invalid algorithm: {algorithm!r}")
+        if database.alphabet != self.alphabet:
+            raise ValueError(
+                "database and score matrix have different alphabets"
+            )
+        encoded = [
+            np.frombuffer(database.alphabet.encode(q), dtype=np.uint8)
+            for q in queries
+        ]
+        with database.lock.read:
+            size = database.get_size()
+            if end < start:
+                raise IndexError("database slice end is lower than start")
+            if end > size:
+                end = size
+            if start > end:
+                return [[] for _ in queries]
+            scores, q_ends, t_ends = engine.search_scores_batch(
+                database,
+                start,
+                end,
+                encoded,
+                self._int_matrix,
+                self.gap_open,
+                self.gap_extend,
+                algorithm,
+                with_ends=(mode == "end"),
+            )
+        from .results import EndResult, ScoreResult
+
+        n = end - start
+        out = []
+        for qi in range(len(queries)):
+            if mode == "score":
+                out.append(
+                    [
+                        ScoreResult(start + i, int(scores[qi, i]))
+                        for i in range(n)
+                    ]
+                )
+            else:
+                out.append(
+                    [
+                        EndResult(
+                            start + i,
+                            int(scores[qi, i]),
+                            int(q_ends[qi, i]),
+                            int(t_ends[qi, i]),
+                        )
+                        for i in range(n)
+                    ]
+                )
+        return out

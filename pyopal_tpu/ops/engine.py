@@ -3,15 +3,23 @@
 This is the TPU analog of the reference's generated platform shims
 (``/root/reference/src/pyopal/platform/pyx.in:16-108``): it receives the
 validated search parameters from `Aligner.align`, selects the best
-engine for the current backend (Pallas TPU kernel, or the vectorized
-XLA engine elsewhere / for outsized queries), runs every packed block,
-and assembles result objects keyed by *global* target index — chunking
-never changes scores (invariant pinned by ``pyx.in:67-69``).
+engine for the current backend, runs the packed database, and assembles
+result objects keyed by *global* target index — chunking never changes
+scores (invariant pinned by ``pyx.in:67-69``).
+
+Engine selection:
+
+- **TPU**: the ragged single-launch Pallas kernel
+  (`pyopal_tpu.ops.pallas_ragged`) — one dispatch covers the whole
+  database and a whole query batch, with one compiled shape per
+  ``(query tier, algorithm, mode)``.
+- **CPU / fallback** (including queries beyond the VMEM tier): the
+  vectorized XLA engine over length-bucketed groups.
 
 Host<->device traffic is minimized for the (remote-attached) TPU path:
-the query profile upload is memoized, packed database blocks and their
-index maps live in HBM across calls, per-group results are scattered
-into one global array *on device*, and exactly one readback happens per
+packed database blocks and index maps live in HBM across calls, query
+profiles upload in one batched transfer, results are scattered into
+global target order *on device*, and exactly one readback happens per
 search call.
 """
 
@@ -24,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..results import EndResult, FullResult, ScoreResult
-from . import naive, packing, xla
+from . import packing, xla
 
 
 def _backend_kind() -> str:
@@ -47,115 +55,73 @@ def _device_arrays(group: packing.PackedGroup):
     return dev
 
 
-# --- query profile upload memoization ----------------------------------------
-
-_PROFILE_CACHE: dict = {}
-_PROFILE_CACHE_MAX = 32
-
-
-def _profile_for(query_enc: np.ndarray, matrix: np.ndarray, kind: str):
-    key = (kind, query_enc.tobytes(), matrix.tobytes())
-    hit = _PROFILE_CACHE.get(key)
-    if hit is not None:
-        return hit
-    if kind == "pallas":
-        from . import pallas_kernel
-
-        prof = pallas_kernel.make_profile(query_enc, matrix)
-        jax.block_until_ready(prof[0])
-    else:
-        prof = jax.device_put(xla.make_profile_t(query_enc, matrix))
-    if len(_PROFILE_CACHE) >= _PROFILE_CACHE_MAX:
-        _PROFILE_CACHE.pop(next(iter(_PROFILE_CACHE)))
-    _PROFILE_CACHE[key] = prof
-    return prof
+def _flat_device(fp: packing.FlatPacked):
+    """Device-resident flat-packed arrays, cached on the object."""
+    dev = getattr(fp, "_dev", None)
+    if dev is None:
+        dev = (
+            jax.device_put(fp.flat_targets),
+            jax.device_put(fp.lengths),
+            jax.device_put(fp.block_of_step),
+            jax.device_put(fp.chunk_of_step),
+            jax.device_put(fp.last_of_step),
+            jax.device_put(fp.inv_pos),
+        )
+        fp._dev = dev
+    return dev
 
 
 # --- on-device result assembly ------------------------------------------------
 
 
-@partial(jax.jit, static_argnames=("n_targets", "with_ends"))
-def _assemble(idx_list, s_list, qe_list, te_list, n_targets, with_ends):
-    """Scatter per-group per-lane results into global target order."""
-    allidx = jnp.concatenate([i.reshape(-1) for i in idx_list])
-    tgt = jnp.where(allidx < 0, n_targets, allidx)
-    alls = jnp.concatenate([s.reshape(-1) for s in s_list])
-    scores = jnp.zeros((n_targets + 1,), jnp.int32).at[tgt].set(alls)[:-1]
+@partial(jax.jit, static_argnames=("with_ends",))
+def _assemble_flat(inv_pos, s, qe, te, with_ends):
+    """Reorder ragged-kernel outputs ``(n_q, n_blocks, LANES)`` into
+    global target order via a precomputed inverse-permutation gather
+    (TPU-friendly; scatters are slow)."""
+    nq = s.shape[0]
+
+    def one(x):
+        return jnp.take(x.reshape(nq, -1), inv_pos, axis=1)
+
+    scores = one(s)
     if not with_ends:
         return scores
-    allqe = jnp.concatenate([x.reshape(-1) for x in qe_list])
-    allte = jnp.concatenate([x.reshape(-1) for x in te_list])
-    q_ends = (
-        jnp.full((n_targets + 1,), -1, jnp.int32).at[tgt].set(allqe)[:-1]
-    )
-    t_ends = (
-        jnp.full((n_targets + 1,), -1, jnp.int32).at[tgt].set(allte)[:-1]
-    )
-    return jnp.stack([scores, q_ends, t_ends])
+    return jnp.stack([scores, one(qe), one(te)], axis=1)
 
 
-def search_scores(
-    packed: packing.PackedDatabase,
-    query_enc: np.ndarray,
-    matrix: np.ndarray,
-    gap_open: int,
-    gap_extend: int,
-    algorithm: str,
-    with_ends: bool = True,
-):
-    """Score + ends for every target of a packed database slice.
+# --- query profile upload memoization -----------------------------------------
 
-    Returns three ``(n_targets,)`` numpy int32 arrays
-    ``(scores, query_ends, target_ends)`` in slice-local index order.
+_PROFILE_CACHE: dict = {}
+_PROFILE_CACHE_MAX = 64
+
+
+def _profiles_for_cohort(cohort, matrix):
+    """Device-resident stacked profiles + query lengths, memoized.
+
+    Uploads over the (possibly remote-attached) device link are
+    latency-expensive; repeated searches with the same query set reuse
+    the uploaded profile stack.
     """
-    n = packed.n_targets
-    if n == 0:
-        z = np.zeros(0, dtype=np.int32)
-        return z, z.copy(), z.copy()
+    from . import pallas_ragged as pr
 
-    Q = int(query_enc.shape[0])
-    if Q == 0:
-        return _empty_query_results(packed, gap_open, gap_extend, algorithm)
-
-    use_pallas = _backend_kind() == "tpu"
-    if use_pallas:
-        from . import pallas_kernel
-        from ..utils import cache
-
-        cache.enable()
-        if not pallas_kernel.supports(Q):
-            use_pallas = False
-
-    if use_pallas:
-        from . import pallas_kernel
-
-        run = partial(pallas_kernel.search_group, with_ends=with_ends)
-        prof = _profile_for(query_enc, matrix, "pallas")
-    else:
-        run = _run_group_xla
-        prof = _profile_for(query_enc, matrix, "xla")
-
-    idx_list, s_list, qe_list, te_list = [], [], [], []
-    for group in packed.groups:
-        targets, lengths, indices = _device_arrays(group)
-        s, qe, te = run(prof, targets, lengths, gap_open, gap_extend, algorithm)
-        idx_list.append(indices)
-        s_list.append(s)
-        qe_list.append(qe)
-        te_list.append(te)
-
-    out = _assemble(
-        tuple(idx_list),
-        tuple(s_list),
-        tuple(qe_list),
-        tuple(te_list),
-        n_targets=n,
-        with_ends=with_ends,
+    key = (
+        b"".join(q.tobytes() + b"\xff" for q in cohort),
+        matrix.tobytes(),
     )
-    out = np.asarray(out)  # the single host readback
-    if with_ends:
-        return out[0], out[1], out[2]
-    return out, np.full(n, -1, np.int32), np.full(n, -1, np.int32)
+    hit = _PROFILE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    profs_host = pr.make_profiles_host(cohort, matrix)
+    profs = jnp.asarray(profs_host, dtype=jnp.bfloat16)
+    qlens = jnp.asarray(np.array([len(q) for q in cohort], np.int32))
+    if len(_PROFILE_CACHE) >= _PROFILE_CACHE_MAX:
+        _PROFILE_CACHE.pop(next(iter(_PROFILE_CACHE)))
+    _PROFILE_CACHE[key] = (profs, qlens)
+    return profs, qlens
+
+
+# --- engines -------------------------------------------------------------------
 
 
 def _run_group_xla(prof_t, targets, lengths, go, ge, algorithm):
@@ -166,13 +132,207 @@ def _run_group_xla(prof_t, targets, lengths, go, ge, algorithm):
     return fn(targets, lengths)
 
 
-def _empty_query_results(packed, go, ge, algorithm):
+def _search_batch_pallas(
+    database, start, end, queries_enc, matrix, go, ge, algorithm, with_ends
+):
+    """Ragged-kernel path: one launch per query-tier cohort."""
+    from . import pallas_ragged as pr
+    from ..utils import cache
+
+    cache.enable()
+    fp = packing.pack_database_slice_flat(database, start, end)
+    n = fp.n_targets
+    nq = len(queries_enc)
+    flat_t, lengths, bos, cos, los, inv_pos = _flat_device(fp)
+
+    # cohorts of queries sharing a profile tier -> one launch each
+    cohorts: dict = {}
+    for i, q in enumerate(queries_enc):
+        tier = pr.profile_qpad(max(len(q), 8))
+        cohorts.setdefault(tier, []).append(i)
+
+    outs = []  # device arrays, one per cohort
+    cohort_order = []
+    for tier, qidx in sorted(cohorts.items()):
+        cohort = [queries_enc[i] for i in qidx]
+        profs, qlens = _profiles_for_cohort(cohort, matrix)
+        s, qe, te = pr.search_flat(
+            profs,
+            qlens,
+            flat_t,
+            lengths,
+            bos,
+            cos,
+            los,
+            int(go),
+            int(ge),
+            algorithm,
+            with_ends,
+        )
+        outs.append(
+            _assemble_flat(inv_pos, s, qe, te, with_ends=with_ends)
+        )
+        cohort_order.extend(qidx)
+
+    stacked = np.asarray(jnp.concatenate(outs, axis=0))  # single readback
+
+    scores = np.zeros((nq, n), dtype=np.int32)
+    q_ends = np.full((nq, n), -1, dtype=np.int32)
+    t_ends = np.full((nq, n), -1, dtype=np.int32)
+    for pos, qi in enumerate(cohort_order):
+        if with_ends:
+            scores[qi] = stacked[pos, 0]
+            q_ends[qi] = stacked[pos, 1]
+            t_ends[qi] = stacked[pos, 2]
+        else:
+            scores[qi] = stacked[pos]
+    return scores, q_ends, t_ends
+
+
+def _search_batch_xla(
+    database, start, end, queries_enc, matrix, go, ge, algorithm, with_ends
+):
+    """Grouped XLA-engine path (CPU backend / oversized queries)."""
+    packed = packing.pack_database_slice(database, start, end)
     n = packed.n_targets
-    lengths = np.zeros(n, dtype=np.int64)
-    for g in packed.groups:
-        idx = g.indices.reshape(-1)
-        valid = idx >= 0
-        lengths[idx[valid]] = g.lengths.reshape(-1)[valid]
+    nq = len(queries_enc)
+    scores = np.zeros((nq, n), dtype=np.int32)
+    q_ends = np.full((nq, n), -1, dtype=np.int32)
+    t_ends = np.full((nq, n), -1, dtype=np.int32)
+
+    for qi, query_enc in enumerate(queries_enc):
+        prof = xla.make_profile_t(query_enc, matrix)
+        for group in packed.groups:
+            targets, lengths, indices = _device_arrays(group)
+            s, qe, te = _run_group_xla(
+                prof, targets, lengths, go, ge, algorithm
+            )
+            s = np.asarray(s).reshape(-1)
+            qe = np.asarray(qe).reshape(-1)
+            te = np.asarray(te).reshape(-1)
+            idx = group.indices.reshape(-1)
+            valid = idx >= 0
+            scores[qi, idx[valid]] = s[valid]
+            q_ends[qi, idx[valid]] = qe[valid]
+            t_ends[qi, idx[valid]] = te[valid]
+    return scores, q_ends, t_ends
+
+
+def search_scores_batch(
+    database,
+    start: int,
+    end: int,
+    queries_enc,
+    matrix: np.ndarray,
+    gap_open: int,
+    gap_extend: int,
+    algorithm: str,
+    with_ends: bool = True,
+):
+    """Pipelined multi-query search over ``database[start:end)``.
+
+    Returns ``(scores, q_ends, t_ends)`` of shape
+    ``(n_queries, n_targets)`` each, in slice-local target order.
+    Must be called with the database read lock held.
+    """
+    n = end - start
+    nq = len(queries_enc)
+    if n <= 0 or nq == 0:
+        z = np.zeros((nq, max(n, 0)), dtype=np.int32)
+        return z, z.copy(), z.copy()
+
+    queries_enc = [np.asarray(q, dtype=np.uint8) for q in queries_enc]
+
+    # queries the device engines cannot take (empty / beyond VMEM tier)
+    # are answered by the host paths below
+    use_pallas = _backend_kind() == "tpu"
+    if use_pallas:
+        from . import pallas_ragged as pr
+
+        device_ok = [
+            q.shape[0] > 0 and pr.supports(q.shape[0]) for q in queries_enc
+        ]
+    else:
+        device_ok = [q.shape[0] > 0 for q in queries_enc]
+
+    scores = np.zeros((nq, n), dtype=np.int32)
+    q_ends = np.full((nq, n), -1, dtype=np.int32)
+    t_ends = np.full((nq, n), -1, dtype=np.int32)
+
+    dev_idx = [i for i, ok in enumerate(device_ok) if ok]
+    if dev_idx:
+        run = _search_batch_pallas if use_pallas else _search_batch_xla
+        s, qe, te = run(
+            database,
+            start,
+            end,
+            [queries_enc[i] for i in dev_idx],
+            matrix,
+            gap_open,
+            gap_extend,
+            algorithm,
+            with_ends,
+        )
+        for k, i in enumerate(dev_idx):
+            scores[i], q_ends[i], t_ends[i] = s[k], qe[k], te[k]
+
+    for i, ok in enumerate(device_ok):
+        if ok:
+            continue
+        q = queries_enc[i]
+        if q.shape[0] == 0:
+            scores[i], q_ends[i], t_ends[i] = _empty_query_results(
+                database, start, end, gap_open, gap_extend, algorithm
+            )
+        else:
+            # long-query fallback: XLA engine regardless of backend
+            s, qe, te = _search_batch_xla(
+                database,
+                start,
+                end,
+                [q],
+                matrix,
+                gap_open,
+                gap_extend,
+                algorithm,
+                with_ends,
+            )
+            scores[i], q_ends[i], t_ends[i] = s[0], qe[0], te[0]
+    return scores, q_ends, t_ends
+
+
+def search_scores(
+    database,
+    start: int,
+    end: int,
+    query_enc: np.ndarray,
+    matrix: np.ndarray,
+    gap_open: int,
+    gap_extend: int,
+    algorithm: str,
+    with_ends: bool = True,
+):
+    """Single-query search; see `search_scores_batch`."""
+    s, qe, te = search_scores_batch(
+        database,
+        start,
+        end,
+        [query_enc],
+        matrix,
+        gap_open,
+        gap_extend,
+        algorithm,
+        with_ends=with_ends,
+    )
+    return s[0], qe[0], te[0]
+
+
+def _empty_query_results(database, start, end, go, ge, algorithm):
+    n = end - start
+    lengths = np.array(
+        [database.get_encoded(i).shape[0] for i in range(start, end)],
+        dtype=np.int64,
+    )
     if algorithm == "nw":
         scores = np.where(lengths > 0, -(go + (lengths - 1) * ge), 0)
         t_ends = (lengths - 1).astype(np.int32)
@@ -198,9 +358,11 @@ def search(
     Must be called with the database read lock held (mirrors the nogil
     region of the reference shims, ``pyx.in:76-91``).
     """
-    packed = packing.pack_database_slice(database, start, end)
+    n = max(end - start, 0)
     scores, q_ends, t_ends = search_scores(
-        packed,
+        database,
+        start,
+        end,
         query_enc,
         matrix,
         gap_open,
@@ -209,7 +371,6 @@ def search(
         with_ends=(mode == "end"),
     )
 
-    n = packed.n_targets
     if mode == "score":
         return [ScoreResult(start + i, int(scores[i])) for i in range(n)]
     if mode == "end":

@@ -30,12 +30,16 @@ COL_QUANTUM = 16
 
 
 def _quantize_length(n: int) -> int:
-    """Round ``n`` up to a padded length (pow2-ish buckets, >= 16)."""
-    n = max(n, 1)
-    q = COL_QUANTUM
-    while q < n:
-        q *= 2
-    return q
+    """Round ``n`` up to a padded length.
+
+    Multiples of 32 up to 256, then multiples of 256 (the kernel column
+    chunk) — bounds padding waste at ~12% for long targets while keeping
+    the set of compiled kernel shapes small.
+    """
+    n = max(n, COL_QUANTUM)
+    if n <= 256:
+        return -(-n // 32) * 32
+    return -(-n // 256) * 256
 
 
 @dataclass
@@ -114,6 +118,114 @@ def pack_sequences(sequences, lanes: int = LANES) -> PackedDatabase:
                 indices=np.stack([b[2] for b in blocks]),
             )
         )
+    return packed
+
+
+@dataclass
+class FlatPacked:
+    """Flat single-launch layout for the ragged kernel.
+
+    All blocks concatenate along the column axis into one
+    ``(total_rows, LANES)`` array whose row count is a multiple of the
+    kernel column chunk; per-step scalar maps tell the kernel which
+    block each chunk belongs to (see
+    `pyopal_tpu.ops.pallas_ragged`).
+    """
+
+    n_targets: int
+    n_blocks: int
+    flat_targets: np.ndarray  # (total_rows, LANES) int32
+    lengths: np.ndarray  # (n_blocks, 1, LANES) int32
+    indices: np.ndarray  # (n_blocks, LANES) int32, -1 = padding lane
+    block_of_step: np.ndarray  # (n_steps,) int32
+    chunk_of_step: np.ndarray  # (n_steps,) int32
+    last_of_step: np.ndarray  # (n_steps,) int32
+    inv_pos: np.ndarray  # (n_targets,) int32: target i -> block*LANES+lane
+
+    @property
+    def total_cells_padded(self) -> int:
+        return self.flat_targets.shape[0] * LANES
+
+    @property
+    def total_cells(self) -> int:
+        return int(self.lengths.sum())
+
+
+def pack_sequences_flat(
+    sequences, lanes: int = LANES, chunk: int = 128
+) -> FlatPacked:
+    """Pack encoded sequences into the flat ragged-kernel layout."""
+    n = len(sequences)
+    if n == 0:
+        return FlatPacked(
+            0,
+            0,
+            np.zeros((0, lanes), np.int32),
+            np.zeros((0, 1, lanes), np.int32),
+            np.zeros((0, lanes), np.int32),
+            np.zeros(0, np.int32),
+            np.zeros(0, np.int32),
+            np.zeros(0, np.int32),
+            np.zeros(0, np.int32),
+        )
+
+    order = sorted(range(n), key=lambda i: len(sequences[i]))
+    blocks = [order[s : s + lanes] for s in range(0, n, lanes)]
+    n_blocks = len(blocks)
+
+    t_pads = []
+    for chunk_ids in blocks:
+        max_len = max(len(sequences[i]) for i in chunk_ids)
+        t_pads.append(-(-max(max_len, 1) // chunk) * chunk)
+    total_rows = sum(t_pads)
+
+    flat = np.zeros((total_rows, lanes), dtype=np.int32)
+    lengths = np.zeros((n_blocks, 1, lanes), dtype=np.int32)
+    indices = np.full((n_blocks, lanes), -1, dtype=np.int32)
+    bos, cos, los = [], [], []
+    row = 0
+    for b, chunk_ids in enumerate(blocks):
+        t_pad = t_pads[b]
+        for lane, i in enumerate(chunk_ids):
+            seq = sequences[i]
+            flat[row : row + seq.shape[0], lane] = seq
+            lengths[b, 0, lane] = seq.shape[0]
+            indices[b, lane] = i
+        n_chunks = t_pad // chunk
+        for ci in range(n_chunks):
+            bos.append(b)
+            cos.append(ci)
+            los.append(1 if ci == n_chunks - 1 else 0)
+        row += t_pad
+
+    inv_pos = np.zeros(n, dtype=np.int32)
+    flat_idx = indices.reshape(-1)
+    valid = flat_idx >= 0
+    inv_pos[flat_idx[valid]] = np.nonzero(valid)[0].astype(np.int32)
+
+    return FlatPacked(
+        n,
+        n_blocks,
+        flat,
+        lengths,
+        indices,
+        np.asarray(bos, np.int32),
+        np.asarray(cos, np.int32),
+        np.asarray(los, np.int32),
+        inv_pos,
+    )
+
+
+def pack_database_slice_flat(database, start: int, end: int) -> FlatPacked:
+    """Flat-pack ``database[start:end]`` (caller holds the read lock)."""
+    cache = getattr(database, "_pack_cache", None)
+    key = ("flat", database.get_version(), start, end)
+    if cache is not None and key in cache:
+        return cache[key]
+    seqs = [database.get_encoded(i) for i in range(start, end)]
+    packed = pack_sequences_flat(seqs)
+    if cache is not None:
+        cache[key] = packed
     return packed
 
 

@@ -69,13 +69,19 @@ def make_profile(query_enc: np.ndarray, matrix: np.ndarray):
     Rows past the true query length get ``PAD_SCORE`` so padded DP rows
     can never win any tracked maximum.  Returns ``(profile, Q)``.
     """
+    prof = make_profile_host(query_enc, matrix)
+    return jnp.asarray(prof, dtype=jnp.bfloat16), int(query_enc.shape[0])
+
+
+def make_profile_host(query_enc: np.ndarray, matrix: np.ndarray) -> np.ndarray:
+    """Host-side float32 profile (see `make_profile`)."""
     q = np.asarray(query_enc, dtype=np.int64)
     S = np.asarray(matrix, dtype=np.float32)
     Q = q.shape[0]
     Q_pad = _round_up(max(Q, 8), 8)
     prof = np.full((Q_pad, ALPHA), PAD_SCORE, dtype=np.float32)
     prof[:Q, : S.shape[1]] = S[q, :]
-    return jnp.asarray(prof, dtype=jnp.bfloat16), Q
+    return prof
 
 
 def _shift_down(x, d, fill):

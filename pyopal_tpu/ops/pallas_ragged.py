@@ -1,0 +1,358 @@
+"""Ragged single-launch Pallas kernel: whole database, one dispatch.
+
+Evolution of `pyopal_tpu.ops.pallas_kernel` driven by three measured
+costs on the target system:
+
+1. kernel compiles are expensive and keyed by shape — so the grid must
+   not depend on target lengths.  Here the grid is
+   ``(n_queries, n_steps)`` where a *step* is one fixed-size chunk of
+   ``CHUNK`` target columns of some block; blocks of any padded length
+   concatenate into one flat ``(total_rows, LANES)`` array and a
+   scalar-prefetched ``block_of_step`` map tells each step which
+   block's lengths/outputs it addresses.  One compiled shape serves
+   every database layout with the same ``(Q_pad, algorithm, mode)``.
+
+2. per-call dispatch overhead — one ``pallas_call`` covers the whole
+   database *and* a whole query batch (the query axis is the outer grid
+   dimension; profiles are stacked on device).
+
+3. padding waste — block lengths quantize to ``CHUNK`` (128 columns)
+   instead of powers of two.
+
+DP semantics, layout, and the exact F-scan are identical to
+`pallas_kernel` (one target per lane, one-hot MXU profile matmul,
+bit-exact fp32); cross-validated against the naive oracle in
+``tests/test_engines.py``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models import ALGORITHMS
+from .pallas_kernel import (
+    ALPHA,
+    MAX_QPAD,
+    NEG,
+    PAD_SCORE,
+    _cummax,
+    _first_argmax,
+    _round_up,
+    _shift_down,
+    make_profile_host,
+)
+
+LANES = 128
+CHUNK = 128  # target columns per grid step (= flat-layout quantum)
+
+
+def supports(Q: int) -> bool:
+    return 0 < Q <= MAX_QPAD
+
+
+def profile_qpad(Q: int) -> int:
+    """Pad query length to a power-of-two tier (bounds compile count)."""
+    tier = 64
+    while tier < Q:
+        tier *= 2
+    return tier
+
+
+def make_profiles_host(queries_enc, matrix) -> np.ndarray:
+    """Stacked ``(n_q, Q_pad, 32)`` fp32 profiles at a common tier."""
+    qmax = max(len(q) for q in queries_enc)
+    Q_pad = profile_qpad(max(qmax, 8))
+    profs = np.full(
+        (len(queries_enc), Q_pad, ALPHA), PAD_SCORE, dtype=np.float32
+    )
+    S = np.asarray(matrix, dtype=np.float32)
+    for i, q in enumerate(queries_enc):
+        q = np.asarray(q, dtype=np.int64)
+        profs[i, : q.shape[0], : S.shape[1]] = S[q, :]
+    return profs
+
+
+def _ragged_kernel(
+    # scalar prefetch
+    bos_ref,  # (n_steps,) block index of step
+    cos_ref,  # (n_steps,) chunk index within block
+    los_ref,  # (n_steps,) 1 if last chunk of block
+    qlen_ref,  # (n_q,) true query lengths
+    # inputs
+    prof_ref,  # (1, Q_pad, 32) bf16 (current query)
+    targets_ref,  # (CHUNK, LANES) int32
+    lengths_ref,  # (1, 1, LANES) int32
+    # outputs
+    scores_ref,  # (1, 1, 1, LANES) int32
+    qend_ref,
+    tend_ref,
+    # scratch
+    H_ref,  # (Q_pad, LANES) f32
+    E_ref,  # (Q_pad, LANES) f32
+    trk_f_ref,  # (8, LANES) f32: 0=best 1=cap
+    trk_i_ref,  # (8, LANES) i32: 0=bi 1=bj 2=lc_i
+    *,
+    algorithm: str,
+    go: int,
+    ge: int,
+    with_ends: bool,
+):
+    spec = ALGORITHMS[algorithm]
+    Q_pad, L = H_ref.shape
+    qi = pl.program_id(0)
+    i = pl.program_id(1)
+    c = cos_ref[i]
+    is_last = los_ref[i] == 1
+    Q = qlen_ref[qi]  # dynamic true query length (same compiled tier)
+    Qf = Q.astype(jnp.float32)
+
+    gof = np.float32(go)
+    gef = np.float32(ge)
+    gmin = np.float32(min(go, ge))
+
+    lengths = lengths_ref[0, 0:1, :]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (Q_pad, L), 0)
+    ivec = row_iota.astype(jnp.float32) * gmin
+
+    @pl.when(c == 0)
+    def _init():
+        if spec.penalize_first_col:
+            col0 = -(gof + row_iota.astype(jnp.float32) * gef)
+        else:
+            col0 = jnp.zeros((Q_pad, L), jnp.float32)
+        H_ref[:] = col0
+        E_ref[:] = jnp.full((Q_pad, L), NEG, jnp.float32)
+        if spec.track_terminal:
+            cap0 = -(gof + (Qf - 1.0) * gef)
+        else:
+            cap0 = NEG
+        if spec.track_last_row:
+            if spec.penalize_first_col:
+                best0 = -(gof + (Qf - 1.0) * gef)
+            else:
+                best0 = jnp.float32(0.0)
+        else:
+            best0 = jnp.float32(0.0)
+        trk_f_ref[0:1, :] = jnp.full((1, L), best0, jnp.float32)
+        trk_f_ref[1:2, :] = jnp.full((1, L), cap0, jnp.float32)
+        trk_i_ref[0:1, :] = jnp.full((1, L), -1, jnp.int32)
+        trk_i_ref[1:2, :] = jnp.full((1, L), -1, jnp.int32)
+        trk_i_ref[2:3, :] = jnp.full((1, L), -1, jnp.int32)
+
+    alpha_iota = jax.lax.broadcasted_iota(jnp.int32, (ALPHA, L), 0)
+    prof = prof_ref[0]  # (Q_pad, 32) bf16
+    # padded profile rows already carry PAD_SCORE for rows >= true Q
+    last_row_sel = row_iota == (Q - 1)
+
+    def column(jj, _):
+        j = c * CHUNK + jj
+        sym = targets_ref[pl.ds(jj, 1), :]  # (1, LANES)
+        onehot = (alpha_iota == sym).astype(jnp.bfloat16)
+        prof_col = jax.lax.dot_general(
+            prof,
+            onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+        H = H_ref[:]
+        E = E_ref[:]
+        E_new = jnp.maximum(H - gof, E - gef)
+
+        jf = j.astype(jnp.float32)
+        if spec.penalize_first_row:
+            row0_cur = -(gof + jf * gef)
+            row0_prev = jnp.where(j == 0, 0.0, -(gof + (jf - 1.0) * gef))
+        else:
+            row0_cur = jnp.float32(0.0)
+            row0_prev = jnp.float32(0.0)
+
+        shifted = _shift_down(H, 1, 0.0)
+        shifted = jnp.where(row_iota == 0, row0_prev, shifted)
+        diag = shifted + prof_col
+
+        tmp = jnp.maximum(diag, E_new)
+        if spec.clamp_zero:
+            tmp = jnp.maximum(tmp, 0.0)
+
+        G = _cummax(tmp + ivec) - ivec
+        Gs = _shift_down(G, 1, NEG)
+        F = jnp.maximum(Gs, row0_cur - ivec) - gof
+        H_new = jnp.maximum(tmp, F)
+
+        H_ref[:] = H_new
+        E_ref[:] = E_new
+
+        valid = j < lengths
+        at_end = j == (lengths - 1)
+
+        if spec.track_all_cells:  # sw
+            best = trk_f_ref[0:1, :]
+            if with_ends:
+                colmax, coli = _first_argmax(H_new, row_iota)
+                upd = valid & (colmax > best)
+                trk_f_ref[0:1, :] = jnp.where(upd, colmax, best)
+                bi = trk_i_ref[0:1, :]
+                bj = trk_i_ref[1:2, :]
+                trk_i_ref[0:1, :] = jnp.where(upd, coli, bi)
+                trk_i_ref[1:2, :] = jnp.where(upd, j, bj)
+            else:
+                colmax = jnp.max(H_new, axis=0, keepdims=True)
+                upd = valid & (colmax > best)
+                trk_f_ref[0:1, :] = jnp.where(upd, colmax, best)
+        if spec.track_last_row:  # hw / ov — dynamic last row select
+            rowval = jnp.max(
+                jnp.where(last_row_sel, H_new, NEG), axis=0, keepdims=True
+            )
+            best = trk_f_ref[0:1, :]
+            upd = valid & (rowval > best)
+            trk_f_ref[0:1, :] = jnp.where(upd, rowval, best)
+            if with_ends:
+                bj = trk_i_ref[1:2, :]
+                trk_i_ref[1:2, :] = jnp.where(upd, j, bj)
+        if spec.track_terminal:  # nw
+            cap = trk_f_ref[1:2, :]
+            rowval = jnp.max(
+                jnp.where(last_row_sel, H_new, NEG), axis=0, keepdims=True
+            )
+            trk_f_ref[1:2, :] = jnp.where(at_end, rowval, cap)
+        if spec.track_last_col:  # ov
+            cap = trk_f_ref[1:2, :]
+            if with_ends:
+                colmax, coli = _first_argmax(H_new, row_iota)
+                lc_i = trk_i_ref[2:3, :]
+                trk_i_ref[2:3, :] = jnp.where(at_end, coli, lc_i)
+            else:
+                colmax = jnp.max(H_new, axis=0, keepdims=True)
+            trk_f_ref[1:2, :] = jnp.where(at_end, colmax, cap)
+        return 0
+
+    jax.lax.fori_loop(0, CHUNK, column, 0)
+
+    @pl.when(is_last)
+    def _finalize():
+        best = trk_f_ref[0:1, :]
+        cap = trk_f_ref[1:2, :]
+        bi = trk_i_ref[0:1, :]
+        bj = trk_i_ref[1:2, :]
+        lc_i = trk_i_ref[2:3, :]
+        qlast = jnp.full((1, L), 1, jnp.int32) * (Q - 1)
+        tlast = lengths - 1
+
+        if algorithm == "sw":
+            score = best
+            qe = jnp.where(best > 0, bi, -1)
+            te = jnp.where(best > 0, bj, -1)
+        elif algorithm == "nw":
+            score = cap
+            qe = qlast
+            te = tlast
+        elif algorithm == "hw":
+            score = best
+            qe = qlast
+            te = bj
+        else:  # ov
+            use_col = cap > best
+            score = jnp.maximum(best, cap)
+            qe = jnp.where(use_col, lc_i, qlast)
+            te = jnp.where(use_col, tlast, bj)
+
+        scores_ref[0, 0, 0:1, :] = score.astype(jnp.int32)
+        qend_ref[0, 0, 0:1, :] = qe
+        tend_ref[0, 0, 0:1, :] = te
+
+
+@partial(
+    jax.jit,
+    static_argnames=("go", "ge", "algorithm", "with_ends", "interpret"),
+)
+def search_flat(
+    profs,  # (n_q, Q_pad, 32) bf16
+    qlens,  # (n_q,) int32 true query lengths
+    flat_targets,  # (total_rows, LANES) int32
+    lengths,  # (n_blocks, 1, LANES) int32
+    bos,  # (n_steps,) int32
+    cos,  # (n_steps,) int32
+    los,  # (n_steps,) int32
+    go,
+    ge,
+    algorithm,
+    with_ends,
+    interpret=False,
+):
+    """One kernel launch: all queries x the whole flat-packed database.
+
+    Returns ``(scores, q_ends, t_ends)`` of shape
+    ``(n_q, n_blocks, LANES)`` int32.
+    """
+    n_q, Q_pad, _ = profs.shape
+    n_steps = bos.shape[0]
+    n_blocks = lengths.shape[0]
+
+    kernel = partial(
+        _ragged_kernel,
+        algorithm=algorithm,
+        go=int(go),
+        ge=int(ge),
+        with_ends=with_ends,
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((n_q, n_blocks, 1, LANES), jnp.int32)
+        for _ in range(3)
+    ]
+    out_spec = pl.BlockSpec(
+        (1, 1, 1, LANES), lambda q, i, bos, cos, los, qlen: (q, bos[i], 0, 0)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_q, n_steps),
+        in_specs=[
+            pl.BlockSpec(
+                (1, Q_pad, ALPHA),
+                lambda q, i, bos, cos, los, qlen: (q, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (CHUNK, LANES),
+                lambda q, i, bos, cos, los, qlen: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, LANES),
+                lambda q, i, bos, cos, los, qlen: (bos[i], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[out_spec, out_spec, out_spec],
+        scratch_shapes=[
+            pltpu.VMEM((Q_pad, LANES), jnp.float32),
+            pltpu.VMEM((Q_pad, LANES), jnp.float32),
+            pltpu.VMEM((8, LANES), jnp.float32),
+            pltpu.VMEM((8, LANES), jnp.int32),
+        ],
+    )
+    flops_per_cell = 24
+    cost = pl.CostEstimate(
+        flops=(flops_per_cell + 2 * ALPHA)
+        * n_q
+        * n_steps
+        * CHUNK
+        * LANES
+        * Q_pad,
+        bytes_accessed=n_q * flat_targets.size * 4,
+        transcendentals=0,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(bos, cos, los, qlens, profs, flat_targets, lengths)
+    return tuple(o.reshape(n_q, n_blocks, LANES) for o in outs)
