@@ -37,6 +37,9 @@ __all__ = [
     "FullResult",
     "ScoringMatrix",
     "align",
+    "read_fasta",
+    "save_database",
+    "load_database",
     "__version__",
 ]
 
@@ -44,5 +47,7 @@ from ._align import align
 from .alphabet import Alphabet
 from .aligner import Aligner
 from .database import BaseDatabase, Database
+from .io import load_database, read_fasta, save_database
 from .matrices import ScoringMatrix
 from .results import EndResult, FullResult, ScoreResult
+from .utils.deviceinfo import _device_info

@@ -144,7 +144,8 @@ class Alphabet:
         alphabet either map to the wildcard or raise when there is none.
         """
         if _native_encoder is not None and seq.flags["C_CONTIGUOUS"]:
-            return _native_encoder.encode(seq, self._ahash)
+            encoded = _native_encoder.encode(seq, self._ahash)
+            return np.frombuffer(encoded, dtype=np.uint8)
         if seq.size and not _IS_ALPHA[seq].all():
             bad = int(seq[~_IS_ALPHA[seq]][0])
             raise ValueError(f"character outside ASCII range: {bad!r}")

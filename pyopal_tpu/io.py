@@ -1,0 +1,134 @@
+"""Database I/O: FASTA loading and the on-disk encoded-database format.
+
+The reference has no bundled loader (its docs parse FASTA with external
+tools); for a TPU-scale serving framework the database load path is a
+real bottleneck, so this module provides:
+
+- `read_fasta` / `Database.from_fasta`-style loading through the native
+  C scanner (`pyopal_tpu.native._encoder.parse_fasta`) with a
+  pure-Python fallback — parsing + ordinal encoding in one pass;
+- `save_database` / `load_database`: an ``.npz`` on-disk format holding
+  the already-encoded sequences, so multi-gigabyte databases are not
+  re-parsed and re-encoded on every run (the checkpoint/resume analog
+  called for in SURVEY.md section 5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .alphabet import Alphabet
+from .database import Database
+
+try:  # pragma: no cover - exercised when the extension is built
+    from pyopal_tpu.native import _encoder as _native_encoder
+except ImportError:
+    _native_encoder = None
+
+
+def read_fasta(path_or_data, alphabet=None):
+    """Parse a FASTA file into ``(names, Database)``.
+
+    Arguments:
+        path_or_data: a filesystem path, or raw FASTA ``bytes``.
+        alphabet: the `Alphabet` (or letters string) used for encoding;
+            defaults to the protein alphabet.
+
+    Returns:
+        ``(names, database)`` — a list of record identifiers (first
+        whitespace-delimited word of each header) and a `Database` of
+        the encoded sequences, in file order.
+    """
+    if alphabet is None:
+        alphabet = Database._DEFAULT_ALPHABET
+    elif not isinstance(alphabet, Alphabet):
+        alphabet = Alphabet(alphabet)
+
+    if isinstance(path_or_data, (bytes, bytearray, memoryview)):
+        data = bytes(path_or_data)
+    else:
+        with open(path_or_data, "rb") as f:
+            data = f.read()
+
+    if _native_encoder is not None:
+        ids, encoded = _native_encoder.parse_fasta(data, alphabet._ahash)
+        names = [i.decode("ascii", "replace") for i in ids]
+        seqs = [np.frombuffer(e, dtype=np.uint8) for e in encoded]
+    else:
+        names, seqs = _parse_fasta_py(data, alphabet)
+
+    db = Database(alphabet=alphabet)
+    with db.lock.write:
+        for s in seqs:
+            s.setflags(write=False) if s.flags.owndata else None
+            db._sequences.append(s)
+        db._bump()
+    return names, db
+
+
+def _parse_fasta_py(data: bytes, alphabet: Alphabet):
+    names, seqs = [], []
+    name = None
+    chunks: list = []
+    for line in data.splitlines():
+        if line.startswith(b">"):
+            if name is not None:
+                enc = alphabet.encode(b"".join(chunks))
+                seqs.append(np.frombuffer(enc, dtype=np.uint8))
+            header = line[1:].strip()
+            name = header.split(b" ")[0].split(b"\t")[0]
+            names.append(name.decode("ascii", "replace"))
+            chunks = []
+        elif name is not None:
+            chunks.append(line.strip().replace(b" ", b""))
+    if name is not None:
+        enc = alphabet.encode(b"".join(chunks))
+        seqs.append(np.frombuffer(enc, dtype=np.uint8))
+    return names, seqs
+
+
+def save_database(path, database: Database, names=None) -> None:
+    """Serialize an encoded database to an ``.npz`` file.
+
+    Stores the concatenated encoded payload + lengths + alphabet, so
+    loading skips parsing and encoding entirely.
+    """
+    with database.lock.read:
+        seqs = [database.get_encoded(i) for i in range(database.get_size())]
+    lengths = np.array([s.shape[0] for s in seqs], dtype=np.int64)
+    payload = (
+        np.concatenate(seqs) if seqs else np.zeros(0, dtype=np.uint8)
+    )
+    kwargs = dict(
+        payload=payload,
+        lengths=lengths,
+        alphabet=np.frombuffer(
+            database.alphabet.letters.encode("ascii"), dtype=np.uint8
+        ),
+    )
+    if names is not None:
+        kwargs["names"] = np.asarray(names, dtype=object)
+    np.savez_compressed(path, **kwargs)
+
+
+def load_database(path):
+    """Load a database saved with `save_database`.
+
+    Returns ``(names, Database)``; ``names`` is `None` when the file
+    was saved without them.
+    """
+    with np.load(path, allow_pickle=True) as f:
+        payload = f["payload"]
+        lengths = f["lengths"]
+        letters = f["alphabet"].tobytes().decode("ascii")
+        names = list(f["names"]) if "names" in f else None
+
+    db = Database(alphabet=letters)
+    offsets = np.concatenate([[0], np.cumsum(lengths)])
+    with db.lock.write:
+        for i in range(lengths.shape[0]):
+            seq = payload[offsets[i] : offsets[i + 1]]
+            seq.setflags(write=False)
+            db._sequences.append(seq)
+        db._bump()
+    return names, db

@@ -1,0 +1,146 @@
+"""align_batch + sharded multi-device search tests (8-device CPU mesh)."""
+
+import numpy as np
+import pytest
+
+import pyopal_tpu
+from pyopal_tpu import Aligner, Database
+
+
+def _random_db(rng, n=40):
+    letters = "ARNDCQEGHILKMFPSTWYV"
+    return [
+        "".join(rng.choice(list(letters), size=rng.integers(3, 60)))
+        for _ in range(n)
+    ]
+
+
+class TestAlignBatch:
+    def test_matches_single(self):
+        rng = np.random.default_rng(0)
+        seqs = _random_db(rng)
+        db = Database(seqs)
+        queries = ["MKTAYIAK", "ACDEFGHIKLMNP", "WWWW"]
+        al = Aligner()
+        for mode in ("score", "end"):
+            batch = al.align_batch(queries, db, mode=mode)
+            for qi, q in enumerate(queries):
+                single = al.align(q, db, mode=mode)
+                assert len(batch[qi]) == len(single)
+                for a, b in zip(batch[qi], single):
+                    assert a.target_index == b.target_index
+                    assert a.score == b.score
+                    if mode == "end":
+                        assert a._query_end == b._query_end
+                        assert a._target_end == b._target_end
+
+    def test_mixed_query_lengths(self):
+        rng = np.random.default_rng(1)
+        db = Database(_random_db(rng, 20))
+        queries = ["M", "MK" * 40, "MKT" * 60]
+        al = Aligner()
+        batch = al.align_batch(queries, db, algorithm="nw")
+        for qi, q in enumerate(queries):
+            single = al.align(q, db, algorithm="nw")
+            assert [r.score for r in batch[qi]] == [r.score for r in single]
+
+    def test_full_mode_rejected(self):
+        db = Database(["MKT"])
+        with pytest.raises(ValueError):
+            Aligner().align_batch(["M"], db, mode="full")
+
+    def test_empty(self):
+        assert Aligner().align_batch([], Database(["MKT"])) == []
+        assert Aligner().align_batch(["M"], Database([])) == [[]]
+
+    def test_slice(self):
+        db = Database(["AAAA", "CCCC", "AAAA"])
+        out = Aligner().align_batch(["AAAA"], db, start=1)
+        assert [r.target_index for r in out[0]] == [1, 2]
+
+
+class TestShardedSearch:
+    def test_sharded_matches_single_device(self):
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs a multi-device mesh")
+        from pyopal_tpu.matrices import ScoringMatrix
+        from pyopal_tpu.ops import xla
+        from pyopal_tpu.parallel import mesh as mesh_lib, sharded
+
+        rng = np.random.default_rng(3)
+        S = ScoringMatrix.from_name("BLOSUM50").int_data()
+        Q = 20
+        q = rng.integers(0, 24, Q).astype(np.uint8)
+        prof = xla.make_profile_t(q, S)
+        nblk, t_pad, lanes = 8, 32, 16
+        targets = rng.integers(0, 24, (nblk, t_pad, lanes)).astype(np.int32)
+        lengths = rng.integers(1, t_pad + 1, (nblk, lanes)).astype(np.int32)
+
+        m = mesh_lib.device_mesh(8)
+        for algo in ("nw", "sw"):
+            s_sh, qe_sh, te_sh = sharded.sharded_search_group(
+                m, prof, targets, lengths, 3, 1, algo, use_pallas=False
+            )
+            s1, qe1, te1 = jax.vmap(
+                lambda t, l: xla.search_block(prof, t, l, 3, 1, algo)
+            )(targets, lengths)
+            assert np.array_equal(np.asarray(s_sh), np.asarray(s1)), algo
+            assert np.array_equal(np.asarray(qe_sh), np.asarray(qe1)), algo
+            assert np.array_equal(np.asarray(te_sh), np.asarray(te1)), algo
+
+    def test_top_k_merge(self):
+        import jax
+
+        if len(jax.devices()) < 2:
+            pytest.skip("needs a multi-device mesh")
+        from pyopal_tpu.parallel import mesh as mesh_lib, sharded
+
+        rng = np.random.default_rng(4)
+        m = mesh_lib.device_mesh(8)
+        scores = rng.integers(0, 1000, 64).astype(np.int32)
+        idx = np.arange(64, dtype=np.int32)
+        v, i = sharded.top_k_merge(m, scores, idx, k=5)
+        v = np.asarray(v)
+        want = np.sort(scores)[::-1][:5]
+        assert np.array_equal(np.sort(v)[::-1], want)
+
+
+class TestDryrun:
+    def test_graft_entry(self):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+        import jax
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        out = jax.jit(fn)(*args)
+        assert all(o.shape == (2, 128) for o in out)
+
+    def test_dryrun_multichip(self):
+        import sys, os
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 devices")
+        sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+        import __graft_entry__ as g
+
+        g.dryrun_multichip(8)
+
+
+class TestUtils:
+    def test_device_info(self):
+        info = pyopal_tpu._device_info()
+        assert info["backend"] in ("cpu", "tpu", "gpu")
+        assert info["n_devices"] >= 1
+
+    def test_search_stats(self):
+        from pyopal_tpu.utils import profiling
+
+        db = Database(["MKTA" * 10, "MK" * 30])
+        stats = profiling.search_stats(db)
+        assert stats["n_targets"] == 2
+        assert stats["residues"] == 100
+        assert stats["padding_overhead"] >= 1.0
