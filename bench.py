@@ -59,19 +59,39 @@ def main():
     res1 = aligner.align(queries[0], db, mode="score", algorithm="sw")
     assert len(res1) == len(seqs)
 
+    def timed(fn, trials_n=3):
+        trials = []
+        for _ in range(trials_n):
+            t0 = time.perf_counter()
+            fn()
+            trials.append(time.perf_counter() - t0)
+        trials.sort()
+        return trials[len(trials) // 2]  # median (device link is jittery)
+
     # single-query end-to-end latency (includes one host readback RTT)
-    iters = 4
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        res1 = aligner.align(queries[0], db, mode="score", algorithm="sw")
-    dt_single = (time.perf_counter() - t0) / iters
+    dt_single = timed(
+        lambda: aligner.align(queries[0], db, mode="score", algorithm="sw")
+    )
 
     # pipelined throughput: all queries dispatched, one readback
-    iters = 4
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        res = aligner.align_batch(queries, db, mode="score", algorithm="sw")
-    dt_batch = (time.perf_counter() - t0) / iters / n_queries
+    dt_batch = (
+        timed(
+            lambda: aligner.align_batch(
+                queries, db, mode="score", algorithm="sw"
+            )
+        )
+        / n_queries
+    )
+
+    # columnar serving API (no per-hit objects)
+    dt_arrays = (
+        timed(
+            lambda: aligner.align_arrays(
+                queries, db, mode="score", algorithm="sw"
+            )
+        )
+        / n_queries
+    )
 
     gcups = cells_per_query / dt_batch / 1e9
     print(
@@ -86,6 +106,9 @@ def main():
                     "single_query_ms": round(dt_single * 1e3, 2),
                     "single_query_gcups": round(
                         cells_per_query / dt_single / 1e9, 2
+                    ),
+                    "arrays_api_gcups": round(
+                        cells_per_query / dt_arrays / 1e9, 2
                     ),
                     "db_residues": int(total_residues),
                     "query_len": 256,

@@ -267,28 +267,81 @@ class Aligner:
                 algorithm,
                 with_ends=(mode == "end"),
             )
-        from .results import EndResult, ScoreResult
+        from .results import build_end_results, build_score_results
 
-        n = end - start
         out = []
         for qi in range(len(queries)):
             if mode == "score":
-                out.append(
-                    [
-                        ScoreResult(start + i, int(scores[qi, i]))
-                        for i in range(n)
-                    ]
-                )
+                out.append(build_score_results(start, scores[qi]))
             else:
                 out.append(
-                    [
-                        EndResult(
-                            start + i,
-                            int(scores[qi, i]),
-                            int(q_ends[qi, i]),
-                            int(t_ends[qi, i]),
-                        )
-                        for i in range(n)
-                    ]
+                    build_end_results(
+                        start, scores[qi], q_ends[qi], t_ends[qi]
+                    )
                 )
         return out
+
+    def align_arrays(
+        self,
+        queries,
+        database,
+        *,
+        mode: str = "score",
+        overflow: str = "buckets",
+        algorithm: str = "sw",
+        start: int = 0,
+        end: int = UINT32_MAX,
+    ):
+        """Columnar batch search: raw numpy arrays instead of objects.
+
+        TPU-native extension for high-throughput serving: identical
+        semantics to `align_batch`, but results come back as dense
+        arrays (no per-hit Python objects).
+
+        Returns:
+            `dict`: ``{"scores": (n_queries, n_targets) int32}`` plus,
+            for ``mode="end"``, ``"query_ends"`` and ``"target_ends"``
+            arrays of the same shape (0-based coordinates, ``-1`` for
+            empty alignments).
+        """
+        if mode not in ("score", "end"):
+            raise ValueError(f"invalid batch search mode: {mode!r}")
+        if overflow not in _OVERFLOW_MODES:
+            raise ValueError(f"invalid overflow mode: {overflow!r}")
+        if algorithm not in _ALGORITHMS:
+            raise ValueError(f"invalid algorithm: {algorithm!r}")
+        if database.alphabet != self.alphabet:
+            raise ValueError(
+                "database and score matrix have different alphabets"
+            )
+        encoded = [
+            np.frombuffer(database.alphabet.encode(q), dtype=np.uint8)
+            for q in queries
+        ]
+        with database.lock.read:
+            size = database.get_size()
+            if end < start:
+                raise IndexError("database slice end is lower than start")
+            if end > size:
+                end = size
+            if start > end:
+                empty = np.zeros((len(queries), 0), dtype=np.int32)
+                return {"scores": empty}
+            scores, q_ends, t_ends = engine.search_scores_batch(
+                database,
+                start,
+                end,
+                encoded,
+                self._int_matrix,
+                self.gap_open,
+                self.gap_extend,
+                algorithm,
+                with_ends=(mode == "end"),
+            )
+        if mode == "score":
+            return {"scores": scores}
+        return {
+            "scores": scores,
+            "query_ends": q_ends,
+            "target_ends": t_ends,
+        }

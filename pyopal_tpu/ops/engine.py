@@ -31,7 +31,13 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..results import EndResult, FullResult, ScoreResult
+from ..results import (
+    EndResult,
+    FullResult,
+    ScoreResult,
+    build_end_results,
+    build_score_results,
+)
 from . import packing, xla
 
 
@@ -372,12 +378,9 @@ def search(
     )
 
     if mode == "score":
-        return [ScoreResult(start + i, int(scores[i])) for i in range(n)]
+        return build_score_results(start, scores)
     if mode == "end":
-        return [
-            EndResult(start + i, int(scores[i]), int(q_ends[i]), int(t_ends[i]))
-            for i in range(n)
-        ]
+        return build_end_results(start, scores, q_ends, t_ends)
 
     # mode == "full": per-pair alignment recompute (reference two-phase
     # strategy: SIMD score pass then pairwise reconstruction [upstream])

@@ -36,8 +36,8 @@ class ScoreResult:
     __slots__ = ("_target_index", "_score")
 
     def __init__(self, target_index, score):
-        self._target_index = int(target_index)
-        self._score = int(score)
+        self._target_index = target_index.__index__()
+        self._score = score.__index__()
 
     def __repr__(self):
         ty = type(self).__name__
@@ -64,6 +64,36 @@ class ScoreResult:
     def score(self):
         """`int`: The score of the alignment."""
         return self._score
+
+
+def build_score_results(start, scores):
+    """Bulk-construct `ScoreResult` objects (bypasses ``__init__``)."""
+    new = ScoreResult.__new__
+    out = []
+    append = out.append
+    for i, v in enumerate(scores.tolist()):
+        r = new(ScoreResult)
+        r._target_index = start + i
+        r._score = v
+        append(r)
+    return out
+
+
+def build_end_results(start, scores, q_ends, t_ends):
+    """Bulk-construct `EndResult` objects (bypasses ``__init__``)."""
+    new = EndResult.__new__
+    out = []
+    append = out.append
+    for i, (v, qe, te) in enumerate(
+        zip(scores.tolist(), q_ends.tolist(), t_ends.tolist())
+    ):
+        r = new(EndResult)
+        r._target_index = start + i
+        r._score = v
+        r._query_end = qe
+        r._target_end = te
+        append(r)
+    return out
 
 
 class EndResult(ScoreResult):
