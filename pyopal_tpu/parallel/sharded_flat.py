@@ -1,0 +1,183 @@
+"""Sharded ragged search: the flat single-launch kernel over a mesh.
+
+Production multi-chip path: the length-sorted blocks of the flat layout
+(`pyopal_tpu.ops.packing.pack_sequences_flat`) are dealt round-robin to
+mesh shards (balanced because blocks are length-sorted), each shard is
+padded to common shapes, and one ``shard_map`` launch runs the ragged
+Pallas kernel on every device's local shard — zero communication in the
+hot loop, profile replicated, per-shard outputs reassembled to global
+target order by a host-precomputed gather permutation.
+
+Multi-host: the same code runs under ``jax.distributed.initialize``
+with a mesh spanning hosts; each host materializes only its
+process-local shards of the stacked arrays.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..ops import packing
+from .mesh import DB_AXIS
+
+LANES = 128
+
+
+@dataclass
+class ShardedFlat:
+    """Flat-packed database distributed over ``n_shards``.
+
+    All per-shard arrays are stacked on a leading shard axis and padded
+    to common shapes; ``inv_shard``/``inv_pos`` map each global target
+    index to (shard, block*LANES+lane).
+    """
+
+    n_targets: int
+    n_shards: int
+    flat_targets: np.ndarray  # (n_shards, rows_max, LANES) int32
+    lengths: np.ndarray  # (n_shards, nblk_max, 1, LANES) int32
+    block_of_step: np.ndarray  # (n_shards, steps_max) int32
+    chunk_of_step: np.ndarray  # (n_shards, steps_max) int32
+    last_of_step: np.ndarray  # (n_shards, steps_max) int32
+    inv_shard: np.ndarray  # (n_targets,) int32
+    inv_pos: np.ndarray  # (n_targets,) int32
+
+
+def pack_flat_sharded(sequences, n_shards: int) -> ShardedFlat:
+    """Distribute encoded sequences over ``n_shards`` flat layouts."""
+    n = len(sequences)
+    order = sorted(range(n), key=lambda i: len(sequences[i]))
+    # deal length-sorted blocks round-robin for load balance
+    shard_ids: List[List[int]] = [[] for _ in range(n_shards)]
+    for b, start in enumerate(range(0, n, LANES)):
+        shard_ids[b % n_shards].extend(order[start : start + LANES])
+
+    packs = [
+        packing.pack_sequences_flat([sequences[i] for i in ids])
+        for ids in shard_ids
+    ]
+
+    rows_max = max(max(p.flat_targets.shape[0] for p in packs), 128)
+    nblk_max = max(max(p.n_blocks for p in packs), 1)
+    steps_max = max(max(p.block_of_step.shape[0] for p in packs), 1)
+
+    flat = np.zeros((n_shards, rows_max, LANES), np.int32)
+    lengths = np.zeros((n_shards, nblk_max, 1, LANES), np.int32)
+    bos = np.zeros((n_shards, steps_max), np.int32)
+    cos = np.zeros((n_shards, steps_max), np.int32)
+    los = np.ones((n_shards, steps_max), np.int32)
+    inv_shard = np.zeros(n, np.int32)
+    inv_pos = np.zeros(n, np.int32)
+
+    for s, (p, ids) in enumerate(zip(packs, shard_ids)):
+        r = p.flat_targets.shape[0]
+        flat[s, :r] = p.flat_targets
+        lengths[s, : p.n_blocks] = p.lengths
+        k = p.block_of_step.shape[0]
+        bos[s, :k] = p.block_of_step
+        cos[s, :k] = p.chunk_of_step
+        los[s, :k] = p.last_of_step
+        # padding steps: point at the last block, flagged "last" with
+        # chunk 0 so they only re-run an idle init/finalize on zero
+        # lengths (indices of that block are unaffected: finalize
+        # rewrites the same values)
+        if k < steps_max:
+            bos[s, k:] = p.block_of_step[-1] if k else 0
+            cos[s, k:] = 0
+            los[s, k:] = 0
+        # local->global index map
+        for local_i, global_i in enumerate(ids):
+            inv_shard[global_i] = s
+            inv_pos[global_i] = p.inv_pos[local_i]
+    return ShardedFlat(
+        n, n_shards, flat, lengths, bos, cos, los, inv_shard, inv_pos
+    )
+
+
+def sharded_search_flat(
+    mesh,
+    profs,
+    qlens,
+    sf: ShardedFlat,
+    go: int,
+    ge: int,
+    algorithm: str,
+    with_ends: bool = True,
+    interpret: bool = False,
+):
+    """One ``shard_map`` launch of the ragged kernel over the mesh.
+
+    Returns ``(scores, q_ends, t_ends)`` numpy arrays of shape
+    ``(n_q, n_targets)`` in global target order.
+    """
+    from ..ops import pallas_ragged as pr
+
+    n_q = profs.shape[0]
+    nblk_max = sf.lengths.shape[1]
+
+    def local(profs, qlens, flat_t, lengths, bos, cos, los):
+        s, qe, te = pr.search_flat(
+            profs,
+            qlens,
+            flat_t[0],
+            lengths[0],
+            bos[0],
+            cos[0],
+            los[0],
+            int(go),
+            int(ge),
+            algorithm,
+            with_ends,
+            interpret=interpret,
+        )
+        return s[None], qe[None], te[None]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, None),
+            P(None),
+            P(DB_AXIS, None, None),
+            P(DB_AXIS, None, None, None),
+            P(DB_AXIS, None),
+            P(DB_AXIS, None),
+            P(DB_AXIS, None),
+        ),
+        out_specs=(
+            P(DB_AXIS, None, None, None),
+            P(DB_AXIS, None, None, None),
+            P(DB_AXIS, None, None, None),
+        ),
+        check_rep=False,
+    )
+
+    def put(x, spec):
+        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+    flat_t = put(sf.flat_targets, P(DB_AXIS, None, None))
+    lengths = put(sf.lengths, P(DB_AXIS, None, None, None))
+    bos = put(sf.block_of_step, P(DB_AXIS, None))
+    cos = put(sf.chunk_of_step, P(DB_AXIS, None))
+    los = put(sf.last_of_step, P(DB_AXIS, None))
+    profs_r = put(profs, P(None, None, None))
+    qlens_r = put(qlens, P(None))
+
+    s, qe, te = fn(profs_r, qlens_r, flat_t, lengths, bos, cos, los)
+    # (n_shards, n_q, nblk_max, LANES) -> global target order
+    s = np.asarray(s)
+    qe = np.asarray(qe)
+    te = np.asarray(te)
+    flatpos = sf.inv_shard * (nblk_max * LANES) + sf.inv_pos
+    out_s = s.transpose(1, 0, 2, 3).reshape(n_q, -1)[:, flatpos]
+    out_qe = qe.transpose(1, 0, 2, 3).reshape(n_q, -1)[:, flatpos]
+    out_te = te.transpose(1, 0, 2, 3).reshape(n_q, -1)[:, flatpos]
+    return out_s, out_qe, out_te

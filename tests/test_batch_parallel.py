@@ -144,3 +144,37 @@ class TestUtils:
         assert stats["n_targets"] == 2
         assert stats["residues"] == 100
         assert stats["padding_overhead"] >= 1.0
+
+
+class TestShardedFlat:
+    def test_matches_oracle(self):
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs a multi-device mesh")
+        import jax.numpy as jnp
+        from pyopal_tpu.matrices import ScoringMatrix
+        from pyopal_tpu.ops import naive, pallas_ragged as pr
+        from pyopal_tpu.parallel import mesh as mesh_lib, sharded_flat as sfm
+
+        rng = np.random.default_rng(9)
+        S = ScoringMatrix.from_name("BLOSUM50").int_data()
+        seqs = [
+            rng.integers(0, 24, int(L)).astype(np.uint8)
+            for L in rng.integers(1, 150, 500)
+        ]
+        sf = sfm.pack_flat_sharded(seqs, 4)
+        queries = [rng.integers(0, 24, 30).astype(np.uint8)]
+        profs = jnp.asarray(
+            pr.make_profiles_host(queries, S), dtype=jnp.bfloat16
+        )
+        qlens = jnp.asarray(np.array([30], np.int32))
+        mesh = mesh_lib.device_mesh(4)
+        s, qe, te = sfm.sharded_search_flat(
+            mesh, profs, qlens, sf, 3, 1, "sw", interpret=True
+        )
+        for i in range(0, 500, 61):
+            ns, nqe, nte = naive.score_end(queries[0], seqs[i], S, 3, 1, "sw")
+            assert ns == s[0, i], i
+            if len(seqs[i]):
+                assert (nqe, nte) == (qe[0, i], te[0, i]), i
