@@ -374,7 +374,7 @@ def search(
         gap_open,
         gap_extend,
         algorithm,
-        with_ends=(mode == "end"),
+        with_ends=(mode != "score"),
     )
 
     if mode == "score":
@@ -382,17 +382,24 @@ def search(
     if mode == "end":
         return build_end_results(start, scores, q_ends, t_ends)
 
-    # mode == "full": per-pair alignment recompute (reference two-phase
-    # strategy: SIMD score pass then pairwise reconstruction [upstream])
+    # mode == "full": batched two-phase reconstruction (reference
+    # strategy: SIMD score pass then pairwise recompute [upstream]) —
+    # the direction matrices are computed on-device in padded batches
     from . import traceback as tb
 
-    results = []
     Q = int(query_enc.shape[0])
-    for i in range(n):
-        target = database.get_encoded(start + i)
-        score, qs, ts, qe, te, ops = tb.full_alignment(
-            query_enc, target, matrix, gap_open, gap_extend, algorithm
-        )
+    targets = [database.get_encoded(start + i) for i in range(n)]
+    outs = tb.full_alignments_batch(
+        query_enc,
+        targets,
+        matrix,
+        gap_open,
+        gap_extend,
+        algorithm,
+        (scores, q_ends, t_ends),
+    )
+    results = []
+    for i, (score, qs, ts, qe, te, ops) in enumerate(outs):
         assert score == int(scores[i]), (
             f"traceback score {score} != kernel score {int(scores[i])} "
             f"for target {start + i}"
@@ -406,7 +413,7 @@ def search(
                 qs,
                 ts,
                 Q,
-                int(target.shape[0]),
+                int(targets[i].shape[0]),
                 ops,
             )
         )

@@ -143,3 +143,30 @@ def test_packing_roundtrip():
                 seen[i] = seen.get(i, 0) + 1
     assert sorted(seen) == list(range(300))
     assert all(v == 1 for v in seen.values())
+
+
+def test_batched_traceback_matches_naive():
+    """Device direction-matrix traceback == scalar oracle, all algos."""
+    from pyopal_tpu.ops import traceback as tb
+
+    rng = np.random.default_rng(17)
+    for go, ge in [(3, 1), (1, 3), (10, 1)]:
+        for algo in ALGOS:
+            Q = int(rng.integers(1, 40))
+            q = rng.integers(0, 24, Q).astype(np.uint8)
+            targets = [
+                rng.integers(0, 24, int(L)).astype(np.uint8)
+                for L in rng.integers(0, 60, 8)
+            ]
+            ends = ([], [], [])
+            for t in targets:
+                s_, qe_, te_ = naive.score_end(q, t, S, go, ge, algo)
+                ends[0].append(s_)
+                ends[1].append(qe_)
+                ends[2].append(te_)
+            outs = tb.full_alignments_batch(q, targets, S, go, ge, algo, ends)
+            for i, t in enumerate(targets):
+                want = naive.traceback(q, t, S, go, ge, algo)
+                got = outs[i]
+                assert got[:5] == want[:5], (go, ge, algo, i)
+                assert np.array_equal(got[5], want[5]), (go, ge, algo, i)
