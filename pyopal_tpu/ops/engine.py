@@ -174,6 +174,7 @@ def _search_batch_pallas(
             int(ge),
             algorithm,
             with_ends,
+            chunk=fp.chunk,
         )
         outs.append(
             _assemble_flat(inv_pos, s, qe, te, with_ends=with_ends)

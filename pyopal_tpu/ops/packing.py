@@ -141,6 +141,7 @@ class FlatPacked:
     chunk_of_step: np.ndarray  # (n_steps,) int32
     last_of_step: np.ndarray  # (n_steps,) int32
     inv_pos: np.ndarray  # (n_targets,) int32: target i -> block*LANES+lane
+    chunk: int = 64  # column-chunk quantum of this layout
 
     @property
     def total_cells_padded(self) -> int:
@@ -152,7 +153,7 @@ class FlatPacked:
 
 
 def pack_sequences_flat(
-    sequences, lanes: int = LANES, chunk: int = 128
+    sequences, lanes: int = LANES, chunk: int = 64
 ) -> FlatPacked:
     """Pack encoded sequences into the flat ragged-kernel layout."""
     n = len(sequences)
@@ -213,6 +214,7 @@ def pack_sequences_flat(
         np.asarray(cos, np.int32),
         np.asarray(los, np.int32),
         inv_pos,
+        chunk,
     )
 
 

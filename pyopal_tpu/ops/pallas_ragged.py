@@ -49,7 +49,7 @@ from .pallas_kernel import (
 )
 
 LANES = 128
-CHUNK = 128  # target columns per grid step (= flat-layout quantum)
+CHUNK = 128  # default target columns per grid step (= flat-layout quantum)
 
 
 def supports(Q: int) -> bool:
@@ -102,6 +102,7 @@ def _ragged_kernel(
     go: int,
     ge: int,
     with_ends: bool,
+    chunk: int,
 ):
     spec = ALGORITHMS[algorithm]
     Q_pad, L = H_ref.shape
@@ -151,7 +152,7 @@ def _ragged_kernel(
     last_row_sel = row_iota == (Q - 1)
 
     def column(jj, _):
-        j = c * CHUNK + jj
+        j = c * chunk + jj
         sym = targets_ref[pl.ds(jj, 1), :]  # (1, LANES)
         onehot = (alpha_iota == sym).astype(jnp.bfloat16)
         prof_col = jax.lax.dot_general(
@@ -233,7 +234,7 @@ def _ragged_kernel(
             trk_f_ref[1:2, :] = jnp.where(at_end, colmax, cap)
         return 0
 
-    jax.lax.fori_loop(0, CHUNK, column, 0)
+    jax.lax.fori_loop(0, chunk, column, 0)
 
     @pl.when(is_last)
     def _finalize():
@@ -270,7 +271,14 @@ def _ragged_kernel(
 
 @partial(
     jax.jit,
-    static_argnames=("go", "ge", "algorithm", "with_ends", "interpret"),
+    static_argnames=(
+        "go",
+        "ge",
+        "algorithm",
+        "with_ends",
+        "interpret",
+        "chunk",
+    ),
 )
 def search_flat(
     profs,  # (n_q, Q_pad, 32) bf16
@@ -285,6 +293,7 @@ def search_flat(
     algorithm,
     with_ends,
     interpret=False,
+    chunk=CHUNK,
 ):
     """One kernel launch: all queries x the whole flat-packed database.
 
@@ -301,6 +310,7 @@ def search_flat(
         go=int(go),
         ge=int(ge),
         with_ends=with_ends,
+        chunk=chunk,
     )
     out_shape = [
         jax.ShapeDtypeStruct((n_q, n_blocks, 1, LANES), jnp.int32)
@@ -319,7 +329,7 @@ def search_flat(
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (CHUNK, LANES),
+                (chunk, LANES),
                 lambda q, i, bos, cos, los, qlen: (i, 0),
                 memory_space=pltpu.VMEM,
             ),
@@ -342,7 +352,7 @@ def search_flat(
         flops=(flops_per_cell + 2 * ALPHA)
         * n_q
         * n_steps
-        * CHUNK
+        * chunk
         * LANES
         * Q_pad,
         bytes_accessed=n_q * flat_targets.size * 4,
