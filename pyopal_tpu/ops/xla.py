@@ -82,12 +82,26 @@ def search_block(prof_t, targets, lengths, go, ge, algorithm):
     lc_best0 = jnp.where(lengths == 0, jnp.max(col0[1:]), NEG)
     lc_i0 = jnp.full((B,), 1, dtype=jnp.int32)
 
+    A = prof_t.shape[1]
+
     def step(carry, xs):
         H, E, best, bi, bj, nw_score, lc_best, lc_i = carry
         sym, j = xs  # sym: (B,) int32; j: 1-based column index
         valid = (j <= lengths) & (lengths > 0)
 
-        prof_col = jnp.take(prof_t, sym, axis=1)  # (Q, B)
+        # profile lookup as a one-hot contraction — rides the MXU on
+        # TPU instead of lowering to a (slow) gather; f32 is exact for
+        # the small integer score domain
+        onehot = (
+            sym[None, :] == jnp.arange(A, dtype=jnp.int32)[:, None]
+        ).astype(jnp.float32)  # (A, B)
+        prof_col = (
+            jnp.dot(
+                prof_t.astype(jnp.float32),
+                onehot,
+                preferred_element_type=jnp.float32,
+            )
+        ).astype(jnp.int32)  # (Q, B)
 
         E_new = jnp.maximum(H - go, E - ge)  # (Q+1, B)
 
