@@ -291,8 +291,22 @@ def search_scores_batch(
             scores[i], q_ends[i], t_ends[i] = _empty_query_results(
                 database, start, end, gap_open, gap_extend, algorithm
             )
+        elif use_pallas:
+            # long query: segmented ragged kernel (sequential launches
+            # over QSEG query rows, boundary state in HBM)
+            s, qe, te = _search_long_pallas(
+                database,
+                start,
+                end,
+                q,
+                matrix,
+                gap_open,
+                gap_extend,
+                algorithm,
+                with_ends,
+            )
+            scores[i], q_ends[i], t_ends[i] = s, qe, te
         else:
-            # long-query fallback: XLA engine regardless of backend
             s, qe, te = _search_batch_xla(
                 database,
                 start,
@@ -306,6 +320,37 @@ def search_scores_batch(
             )
             scores[i], q_ends[i], t_ends[i] = s[0], qe[0], te[0]
     return scores, q_ends, t_ends
+
+
+def _search_long_pallas(
+    database, start, end, query_enc, matrix, go, ge, algorithm, with_ends
+):
+    """Segmented ragged-kernel search for one long query."""
+    from . import pallas_ragged_long as prl
+    from ..utils import cache
+
+    cache.enable()
+    fp = packing.pack_database_slice_flat(database, start, end)
+    flat_t, lengths, bos, cos, los, inv_pos = _flat_device(fp)
+    s, qe, te = prl.search_flat_long(
+        query_enc,
+        matrix,
+        flat_t,
+        lengths,
+        bos,
+        cos,
+        los,
+        int(go),
+        int(ge),
+        algorithm,
+        with_ends,
+        chunk=fp.chunk,
+    )
+    flatpos = np.asarray(fp.inv_pos)
+    s = np.asarray(s).reshape(-1)[flatpos]
+    qe = np.asarray(qe).reshape(-1)[flatpos]
+    te = np.asarray(te).reshape(-1)[flatpos]
+    return s, qe, te
 
 
 def search_scores(

@@ -170,3 +170,45 @@ def test_batched_traceback_matches_naive():
                 got = outs[i]
                 assert got[:5] == want[:5], (go, ge, algo, i)
                 assert np.array_equal(got[5], want[5]), (go, ge, algo, i)
+
+
+def test_segmented_long_query_matches_naive():
+    """Query-segmented ragged kernel (interpret) == oracle, all algos."""
+    import jax.numpy as jnp
+    from pyopal_tpu.ops import packing, pallas_ragged_long as prl
+
+    old_qseg = prl.QSEG
+    prl.QSEG = 32  # force multi-segment paths at test sizes
+    try:
+        rng = np.random.default_rng(23)
+        seqs = [
+            rng.integers(0, 24, int(L)).astype(np.uint8)
+            for L in rng.integers(0, 90, 30)
+        ]
+        fp = packing.pack_sequences_flat(seqs)
+        flat_t = jnp.asarray(fp.flat_targets)
+        lengths = jnp.asarray(fp.lengths)
+        bos = jnp.asarray(fp.block_of_step)
+        cos = jnp.asarray(fp.chunk_of_step)
+        los = jnp.asarray(fp.last_of_step)
+        idx = fp.indices.reshape(-1)
+        for Q in (33, 70):  # 2 and 3 segments
+            q = rng.integers(0, 24, Q).astype(np.uint8)
+            for algo in ALGOS:
+                s, qe, te = prl.search_flat_long(
+                    q, S, flat_t, lengths, bos, cos, los,
+                    3, 1, algo, True, interpret=True, chunk=fp.chunk,
+                )
+                s = np.asarray(s).reshape(-1)
+                qe = np.asarray(qe).reshape(-1)
+                te = np.asarray(te).reshape(-1)
+                for pos in range(0, idx.shape[0], 7):
+                    i = idx[pos]
+                    if i < 0:
+                        continue
+                    ns, nqe, nte = naive.score_end(q, seqs[i], S, 3, 1, algo)
+                    assert ns == s[pos], (Q, algo, i)
+                    if len(seqs[i]):
+                        assert (nqe, nte) == (qe[pos], te[pos]), (Q, algo, i)
+    finally:
+        prl.QSEG = old_qseg
