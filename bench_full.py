@@ -1,0 +1,112 @@
+"""Extended benchmark: every configuration from BASELINE.md.
+
+Measures (on the current backend):
+
+1. SW/NW/HW/OV score-only vs a 10k-sequence protein database;
+2. end mode (score + end locations);
+3. full mode: CIGAR traceback for the top-100 hits (the documented
+   search -> extract -> realign workflow);
+4. single-query latency and pipelined multi-query throughput;
+5. the README toy example (correctness smoke).
+
+Writes a markdown report to ``BENCH_DETAIL.md`` and prints it.
+Run ``bench.py`` for the headline single-line JSON metric.
+"""
+
+import time
+
+import numpy as np
+
+from bench import build_database
+
+
+def timed(fn, trials=3):
+    ts = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def main():
+    from pyopal_tpu.utils import cache
+
+    cache.enable()
+    import jax
+    import pyopal_tpu as po
+
+    lines = [
+        "# Extended benchmark (BASELINE.md configurations)",
+        "",
+        f"Backend: `{jax.default_backend()}` — {jax.devices()[0].device_kind}",
+        "",
+    ]
+
+    # toy example correctness
+    targets = ["AACCGCTG", "ATGCGCT", "TTATTACG"]
+    scores = [
+        r.score
+        for r in po.align("ACCTG", targets, gap_open=2, ordered=True)
+    ]
+    assert scores == [41, 31, 23], scores
+    lines.append("README toy example: scores 41/31/23 reproduced.")
+    lines.append("")
+
+    rng = np.random.default_rng(1)
+    seqs = build_database(rng, n=10000)
+    db = po.Database(seqs)
+    aligner = po.Aligner()
+    query = build_database(rng, n=1, mean_len=256)[0][:256]
+    cells = len(query) * db.total_length
+
+    lines.append(f"Database: 10,000 sequences, {db.total_length:,} residues; query 256 aa; BLOSUM50 gap 3/1.")
+    lines.append("")
+    lines.append("| configuration | time/query | GCUPS |")
+    lines.append("|---|---|---|")
+
+    # 1. all four algorithms, score mode
+    for algo in ("sw", "nw", "hw", "ov"):
+        aligner.align(query, db, mode="score", algorithm=algo)  # warm
+        dt = timed(lambda a=algo: aligner.align(query, db, mode="score", algorithm=a))
+        lines.append(
+            f"| `{algo}` score | {dt * 1e3:.1f} ms | {cells / dt / 1e9:.1f} |"
+        )
+
+    # 2. end mode
+    aligner.align(query, db, mode="end", algorithm="sw")
+    dt = timed(lambda: aligner.align(query, db, mode="end", algorithm="sw"))
+    lines.append(f"| `sw` end | {dt * 1e3:.1f} ms | {cells / dt / 1e9:.1f} |")
+
+    # 3. full mode on top-100 hits (search -> extract -> realign)
+    hits = aligner.align(query, db, mode="score", algorithm="sw")
+    top = sorted(hits, key=lambda h: h.score, reverse=True)[:100]
+    subdb = db.extract([h.target_index for h in top])
+    aligner.align(query, subdb, mode="full", algorithm="sw")  # warm
+    dt = timed(
+        lambda: aligner.align(query, subdb, mode="full", algorithm="sw")
+    )
+    full = aligner.align(query, subdb, mode="full", algorithm="sw")
+    assert all(f.cigar() for f in full)
+    lines.append(f"| `sw` full, top-100 realign | {dt * 1e3:.1f} ms | — |")
+
+    # 4. pipelined multi-query throughput (columnar API)
+    queries = [q[:256] for q in build_database(rng, n=16, mean_len=256)]
+    aligner.align_arrays(queries, db, mode="score", algorithm="sw")
+    dt = timed(
+        lambda: aligner.align_arrays(queries, db, mode="score", algorithm="sw")
+    )
+    per = dt / len(queries)
+    lines.append(
+        f"| `sw` score, 16 queries pipelined (arrays API) | {per * 1e3:.1f} ms | {cells / per / 1e9:.1f} |"
+    )
+
+    report = "\n".join(lines) + "\n"
+    with open("BENCH_DETAIL.md", "w") as f:
+        f.write(report)
+    print(report)
+
+
+if __name__ == "__main__":
+    main()

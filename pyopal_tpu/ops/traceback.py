@@ -45,32 +45,43 @@ F_OPEN = 8  # bit 3: F came from H (gap open)
 MAX_DEVICE_CELLS = 64 * 1024 * 1024
 
 
-def _dir_matrix(prof_t, target, go, ge, algorithm):
-    """Packed direction matrix for one (padded) pair.
+@partial(jax.jit, static_argnames=("algorithm",))
+def _dir_matrix_batch(prof_t, targets, go, ge, algorithm):
+    """Packed direction matrices for a padded batch of pairs.
 
-    ``prof_t``: (Q, A) int32 profile; ``target``: (T_pad,) int32.
-    Returns ``(Q, T_pad) uint8``.  The column sweep uses the same exact
-    prefix-max F formulation as the XLA engine; the gap-open bits are
-    derived algebraically afterwards.
+    ``prof_t``: (Q, A) int32 profile; ``targets``: (B, T_pad) int32.
+    Returns ``(B, Q, T_pad) uint8``.  Batch-oriented layout: the DP
+    state is ``(Q+1, B)`` so every column step is one well-shaped 2D
+    op block (the profile lookup is a one-hot contraction, not a
+    per-pair gather), with the same exact prefix-max F formulation as
+    the XLA engine; gap-open bits are derived algebraically.
     """
     spec = ALGORITHMS[algorithm]
-    Q = prof_t.shape[0]
+    Q, A = prof_t.shape
+    B, T_pad = targets.shape
     go = jnp.int32(go)
     ge = jnp.int32(ge)
     gmin = jnp.minimum(go, ge)
+    prof_f = prof_t.astype(jnp.float32)
 
-    rows = jnp.arange(Q + 1, dtype=jnp.int32)
+    rows = jnp.arange(Q + 1, dtype=jnp.int32)[:, None]  # (Q+1, 1)
     if spec.penalize_first_col:
         col0 = jnp.where(rows > 0, -(go + (rows - 1) * ge), 0)
     else:
-        col0 = jnp.zeros(Q + 1, jnp.int32)
-    H0 = col0
-    E0 = jnp.full(Q + 1, NEG, jnp.int32)
+        col0 = jnp.zeros((Q + 1, 1), jnp.int32)
+    H0 = jnp.broadcast_to(col0, (Q + 1, B)).astype(jnp.int32)
+    E0 = jnp.full((Q + 1, B), NEG, jnp.int32)
 
     def step(carry, xs):
         H, E = carry
-        sym, j = xs
-        prof_col = prof_t[:, sym]  # (Q,)
+        sym, j = xs  # sym: (B,), j: scalar
+
+        onehot = (
+            sym[None, :] == jnp.arange(A, dtype=jnp.int32)[:, None]
+        ).astype(jnp.float32)
+        prof_col = jnp.dot(
+            prof_f, onehot, preferred_element_type=jnp.float32
+        ).astype(jnp.int32)  # (Q, B)
 
         E_new = jnp.maximum(H - go, E - ge)
         e_open = (H - go) >= (E - ge)  # tie -> open, like the oracle
@@ -79,22 +90,25 @@ def _dir_matrix(prof_t, target, go, ge, algorithm):
             row0 = -(go + (j - 1) * ge)
         else:
             row0 = jnp.int32(0)
+        row0 = jnp.broadcast_to(row0, (1, B)).astype(jnp.int32)
 
         diag = H[:-1] + prof_col  # rows 1..Q
         tmp = jnp.maximum(diag, E_new[1:])
         if spec.clamp_zero:
             tmp = jnp.maximum(tmp, 0)
-        tmp_full = jnp.concatenate([row0[None], tmp])
+        tmp_full = jnp.concatenate([row0, tmp])
 
         aux = tmp_full + rows * gmin
         cmax = jax.lax.cummax(aux, axis=0)
         F_rows = cmax[:-1] - go - rows[:-1] * gmin  # F[i], i = 1..Q
 
         H_rows = jnp.maximum(tmp, F_rows)
-        H_new = jnp.concatenate([row0[None], H_rows])
+        H_new = jnp.concatenate([row0, H_rows])
 
         # F gap-open bits: F[i] from H_new[i-1] (open) vs F[i-1] (extend)
-        f_prev = jnp.concatenate([jnp.array([NEG]), F_rows[:-1]])
+        f_prev = jnp.concatenate(
+            [jnp.full((1, B), NEG, jnp.int32), F_rows[:-1]]
+        )
         f_open = (H_new[:-1] - go) >= (f_prev - ge)
 
         is_diag = H_rows == diag
@@ -108,19 +122,14 @@ def _dir_matrix(prof_t, target, go, ge, algorithm):
             + jnp.where(f_open, F_OPEN, 0)
         ).astype(jnp.uint8)
 
-        return (H_new, E_new), dirs
+        return (H_new, E_new), dirs  # dirs: (Q, B)
 
-    T_pad = target.shape[0]
-    xs = (target, jnp.arange(1, T_pad + 1, dtype=jnp.int32))
-    (_, _), dirs = jax.lax.scan(step, (H0, E0), xs)
-    return dirs.T  # (Q, T_pad)
-
-
-@partial(jax.jit, static_argnames=("algorithm",))
-def _dir_matrix_batch(prof_t, targets, go, ge, algorithm):
-    return jax.vmap(
-        lambda t: _dir_matrix(prof_t, t, go, ge, algorithm)
-    )(targets)
+    xs = (
+        targets.T.astype(jnp.int32),  # (T_pad, B)
+        jnp.arange(1, T_pad + 1, dtype=jnp.int32),
+    )
+    (_, _), dirs = jax.lax.scan(step, (H0, E0), xs)  # (T_pad, Q, B)
+    return jnp.transpose(dirs, (2, 1, 0))  # (B, Q, T_pad)
 
 
 def _walk(dirs, spec, qs_hint, qe, te, go, ge):
@@ -255,21 +264,21 @@ def full_alignments_batch(
             # semi-global ends on the j=0 boundary (te=-1) are walked
             # from column 0 like the oracle does
             qs, ts, ops = _walk(dirs[k], spec, 0, qe, te, go, ge)
-            # refine M -> X where residues differ
+            # refine M -> X where residues differ (vectorized)
             ops = np.asarray(ops, dtype=np.uint8)
-            qi, ti = qs, ts
-            for p in range(ops.shape[0]):
-                op = ops[p]
-                if op == OP_MATCH:
-                    if query_enc[qi] != target[ti]:
-                        ops[p] = OP_MISMATCH
-                    qi += 1
-                    ti += 1
-                elif op == OP_DEL:
-                    qi += 1
-                else:
-                    ti += 1
+            consumes_q = ops != OP_INS
+            consumes_t = ops != OP_DEL
+            qpos = qs + np.cumsum(consumes_q) - consumes_q
+            tpos = ts + np.cumsum(consumes_t) - consumes_t
+            # only index at match positions: after the final residue is
+            # consumed, trailing gap ops carry positions one past the end
+            m = np.nonzero(ops == OP_MATCH)[0]
+            tarr = np.asarray(target)
+            mism = query_enc[qpos[m]] != tarr[tpos[m]]
+            ops[m[mism]] = OP_MISMATCH
             # the walked path must span exactly [qs, qe] x [ts, te]
+            qi = qs + int(consumes_q.sum())
+            ti = ts + int(consumes_t.sum())
             assert qi == qe + 1 and ti == te + 1, (
                 f"inconsistent traceback span for target {i}: "
                 f"walked to ({qi},{ti}), expected ({qe + 1},{te + 1})"
