@@ -175,6 +175,9 @@ def _search_batch_pallas(
             algorithm,
             with_ends,
             chunk=fp.chunk,
+            # pad symbol 31 scores PAD for every query row iff the
+            # alphabet leaves profile column 31 unused
+            safe_pad=matrix.shape[1] <= 31,
         )
         outs.append(
             _assemble_flat(inv_pos, s, qe, te, with_ends=with_ends)

@@ -180,7 +180,11 @@ def pack_sequences_flat(
         t_pads.append(-(-max(max_len, 1) // chunk) * chunk)
     total_rows = sum(t_pads)
 
-    flat = np.zeros((total_rows, lanes), dtype=np.int32)
+    # pad with symbol 31: when the alphabet has <= 31 letters, profile
+    # column 31 is PAD_SCORE, so padded columns decay under the SW clamp
+    # and the ragged kernel's bestvec tracking needs no validity masks
+    # (fp32 paths mask by per-lane lengths and ignore the pad value)
+    flat = np.full((total_rows, lanes), 31, dtype=np.int32)
     lengths = np.zeros((n_blocks, 1, lanes), dtype=np.int32)
     indices = np.full((n_blocks, lanes), -1, dtype=np.int32)
     bos, cos, los = [], [], []

@@ -38,7 +38,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models import ALGORITHMS
 from .pallas_kernel import (
     ALPHA,
-    MAX_QPAD,
     NEG,
     PAD_SCORE,
     _cummax,
@@ -50,10 +49,22 @@ from .pallas_kernel import (
 
 LANES = 128
 CHUNK = 128  # default target columns per grid step (= flat-layout quantum)
+UNROLL = 4  # column-loop unroll factor (ILP across F-scan chains)
+#: Flat packing pads target columns with this symbol.  When the
+#: alphabet has <= 31 letters, profile column 31 is PAD_SCORE for every
+#: query row, so out-of-range columns decay to 0 under the SW clamp and
+#: a running elementwise ``best`` needs no per-column validity masking.
+PAD_SYMBOL = 31
+
+
+#: Queries beyond this tier go to the segmented long-query kernel
+#: (`pallas_ragged_long`): at the 4096 tier the column-loop temporaries
+#: (~6 live (Q_pad, LANES) f32 arrays) blow the 16 MB scoped-VMEM limit.
+RAGGED_MAX_QPAD = 2048
 
 
 def supports(Q: int) -> bool:
-    return 0 < Q <= MAX_QPAD
+    return 0 < Q <= RAGGED_MAX_QPAD
 
 
 def profile_qpad(Q: int) -> int:
@@ -97,12 +108,15 @@ def _ragged_kernel(
     E_ref,  # (Q_pad, LANES) f32
     trk_f_ref,  # (8, LANES) f32: 0=best 1=cap
     trk_i_ref,  # (8, LANES) i32: 0=bi 1=bj 2=lc_i
+    best_ref,  # (Q_pad, LANES) f32 running max (bestvec mode) or (8, ...)
     *,
     algorithm: str,
     go: int,
     ge: int,
     with_ends: bool,
     chunk: int,
+    unroll: int,
+    bestvec: bool,
 ):
     spec = ALGORITHMS[algorithm]
     Q_pad, L = H_ref.shape
@@ -145,13 +159,18 @@ def _ragged_kernel(
         trk_i_ref[0:1, :] = jnp.full((1, L), -1, jnp.int32)
         trk_i_ref[1:2, :] = jnp.full((1, L), -1, jnp.int32)
         trk_i_ref[2:3, :] = jnp.full((1, L), -1, jnp.int32)
+        if bestvec:
+            best_ref[:] = jnp.zeros((Q_pad, L), jnp.float32)
 
     alpha_iota = jax.lax.broadcasted_iota(jnp.int32, (ALPHA, L), 0)
     prof = prof_ref[0]  # (Q_pad, 32) bf16
     # padded profile rows already carry PAD_SCORE for rows >= true Q
     last_row_sel = row_iota == (Q - 1)
+    # F-scan constant, folded: F[i] = C[i-1] - ivec[i] - go + gmin where
+    # C = cummax(tmp + ivec) (see pallas_kernel module docstring)
+    ivec_f = ivec + (gof - gmin)
 
-    def column(jj, _):
+    def column(jj):
         j = c * chunk + jj
         sym = targets_ref[pl.ds(jj, 1), :]  # (1, LANES)
         onehot = (alpha_iota == sym).astype(jnp.bfloat16)
@@ -175,16 +194,25 @@ def _ragged_kernel(
             row0_prev = jnp.float32(0.0)
 
         shifted = _shift_down(H, 1, 0.0)
-        shifted = jnp.where(row_iota == 0, row0_prev, shifted)
+        if spec.penalize_first_row:
+            # top fill must be the (penalized) row-0 boundary; for the
+            # other algorithms the 0.0 fill above is already correct
+            shifted = jnp.where(row_iota == 0, row0_prev, shifted)
         diag = shifted + prof_col
 
         tmp = jnp.maximum(diag, E_new)
         if spec.clamp_zero:
             tmp = jnp.maximum(tmp, 0.0)
 
-        G = _cummax(tmp + ivec) - ivec
-        Gs = _shift_down(G, 1, NEG)
-        F = jnp.maximum(Gs, row0_cur - ivec) - gof
+        C = _cummax(tmp + ivec)
+        Cs = _shift_down(C, 1, NEG)
+        if spec.clamp_zero and not spec.penalize_first_row:
+            # sw: the row-0 boundary F candidate is -(i*gmin + go) < 0
+            # <= tmp (clamped), hence redundant
+            F = Cs - ivec_f
+        else:
+            # Gs[i] = C[i-1] - ivec[i-1] = Cs[i] - (ivec[i] - gmin)
+            F = jnp.maximum(Cs - (ivec - gmin), row0_cur - ivec) - gof
         H_new = jnp.maximum(tmp, F)
 
         H_ref[:] = H_new
@@ -194,8 +222,12 @@ def _ragged_kernel(
         at_end = j == (lengths - 1)
 
         if spec.track_all_cells:  # sw
-            best = trk_f_ref[0:1, :]
-            if with_ends:
+            if bestvec:
+                # pad columns/rows can never win (PAD_SYMBOL scoring):
+                # one elementwise max per column, reduced at finalize
+                best_ref[:] = jnp.maximum(best_ref[:], H_new)
+            elif with_ends:
+                best = trk_f_ref[0:1, :]
                 colmax, coli = _first_argmax(H_new, row_iota)
                 upd = valid & (colmax > best)
                 trk_f_ref[0:1, :] = jnp.where(upd, colmax, best)
@@ -204,6 +236,7 @@ def _ragged_kernel(
                 trk_i_ref[0:1, :] = jnp.where(upd, coli, bi)
                 trk_i_ref[1:2, :] = jnp.where(upd, j, bj)
             else:
+                best = trk_f_ref[0:1, :]
                 colmax = jnp.max(H_new, axis=0, keepdims=True)
                 upd = valid & (colmax > best)
                 trk_f_ref[0:1, :] = jnp.where(upd, colmax, best)
@@ -232,13 +265,20 @@ def _ragged_kernel(
             else:
                 colmax = jnp.max(H_new, axis=0, keepdims=True)
             trk_f_ref[1:2, :] = jnp.where(at_end, colmax, cap)
+
+    def body(base, _):
+        for u in range(unroll):
+            column(base * unroll + u)
         return 0
 
-    jax.lax.fori_loop(0, chunk, column, 0)
+    jax.lax.fori_loop(0, chunk // unroll, body, 0)
 
     @pl.when(is_last)
     def _finalize():
-        best = trk_f_ref[0:1, :]
+        if bestvec:
+            best = jnp.max(best_ref[:], axis=0, keepdims=True)
+        else:
+            best = trk_f_ref[0:1, :]
         cap = trk_f_ref[1:2, :]
         bi = trk_i_ref[0:1, :]
         bj = trk_i_ref[1:2, :]
@@ -278,6 +318,8 @@ def _ragged_kernel(
         "with_ends",
         "interpret",
         "chunk",
+        "unroll",
+        "safe_pad",
     ),
 )
 def search_flat(
@@ -294,6 +336,8 @@ def search_flat(
     with_ends,
     interpret=False,
     chunk=CHUNK,
+    unroll=UNROLL,
+    safe_pad=False,
 ):
     """One kernel launch: all queries x the whole flat-packed database.
 
@@ -304,6 +348,17 @@ def search_flat(
     n_steps = bos.shape[0]
     n_blocks = lengths.shape[0]
 
+    while chunk % unroll:
+        unroll //= 2
+    # scoped-VMEM pressure scales with unroll x live (Q_pad, LANES)
+    # temporaries; shrink the unroll at the largest tier
+    if Q_pad > 1024:
+        unroll = min(unroll, 2)
+    # bestvec: SW score-only running-max tracking; requires flat packing
+    # padded with PAD_SYMBOL and profile column PAD_SYMBOL == PAD_SCORE
+    # (alphabet <= 31 letters, signalled by the caller via safe_pad)
+    bestvec = algorithm == "sw" and not with_ends and safe_pad
+
     kernel = partial(
         _ragged_kernel,
         algorithm=algorithm,
@@ -311,6 +366,8 @@ def search_flat(
         ge=int(ge),
         with_ends=with_ends,
         chunk=chunk,
+        unroll=unroll,
+        bestvec=bestvec,
     )
     out_shape = [
         jax.ShapeDtypeStruct((n_q, n_blocks, 1, LANES), jnp.int32)
@@ -345,6 +402,9 @@ def search_flat(
             pltpu.VMEM((Q_pad, LANES), jnp.float32),
             pltpu.VMEM((8, LANES), jnp.float32),
             pltpu.VMEM((8, LANES), jnp.int32),
+            pltpu.VMEM(
+                (Q_pad if bestvec else 8, LANES), jnp.float32
+            ),
         ],
     )
     flops_per_cell = 24

@@ -1,6 +1,6 @@
 """Long-query extension of the ragged kernel: query segmentation.
 
-Queries longer than the VMEM tier (`pallas_ragged.MAX_QPAD`) are
+Queries longer than the VMEM tier (`pallas_ragged.RAGGED_MAX_QPAD`) are
 processed in sequential *segments* of ``QSEG`` query rows.  Each
 segment is one launch of a kernel nearly identical to the ragged
 kernel, plus:

@@ -212,3 +212,63 @@ def test_segmented_long_query_matches_naive():
                         assert (nqe, nte) == (qe[pos], te[pos]), (Q, algo, i)
     finally:
         prl.QSEG = old_qseg
+
+
+def test_ragged_flat_matches_naive():
+    """Ragged single-launch kernel (interpret) == oracle.
+
+    Covers the bestvec fast path (sw score-only with safe_pad: running
+    elementwise max, PAD_SYMBOL-padded columns) and the unrolled column
+    loop, against the tracked per-column path and the scalar oracle.
+    """
+    import jax.numpy as jnp
+    from pyopal_tpu.ops import pallas_ragged as pr
+
+    rng = np.random.default_rng(31)
+    seqs = [
+        rng.integers(0, 24, int(L)).astype(np.uint8)
+        for L in rng.integers(0, 150, 40)
+    ]
+    fp = packing.pack_sequences_flat(seqs)
+    assert fp.flat_targets[0, -1] == 31  # PAD_SYMBOL padding in effect
+    flat_t = jnp.asarray(fp.flat_targets)
+    lengths = jnp.asarray(fp.lengths)
+    bos = jnp.asarray(fp.block_of_step)
+    cos = jnp.asarray(fp.chunk_of_step)
+    los = jnp.asarray(fp.last_of_step)
+    idx = fp.indices.reshape(-1)
+
+    queries = [
+        rng.integers(0, 24, 17).astype(np.uint8),
+        rng.integers(0, 24, 40).astype(np.uint8),
+    ]
+    profs = jnp.asarray(pr.make_profiles_host(queries, S), jnp.bfloat16)
+    qlens = jnp.asarray([len(q) for q in queries], jnp.int32)
+
+    for go, ge in [(3, 1), (1, 3)]:
+        for algo in ALGOS:
+            for with_ends in (False, True):
+                for unroll, safe_pad in ((4, True), (1, False)):
+                    s, qe, te = pr.search_flat(
+                        profs, qlens, flat_t, lengths, bos, cos, los,
+                        go, ge, algo, with_ends, interpret=True,
+                        chunk=fp.chunk, unroll=unroll, safe_pad=safe_pad,
+                    )
+                    s = np.asarray(s).reshape(len(queries), -1)
+                    qe = np.asarray(qe).reshape(len(queries), -1)
+                    te = np.asarray(te).reshape(len(queries), -1)
+                    for qi, q in enumerate(queries):
+                        for pos in range(0, idx.shape[0], 5):
+                            i = idx[pos]
+                            if i < 0:
+                                continue
+                            ns, nqe, nte = naive.score_end(
+                                q, seqs[i], S, go, ge, algo
+                            )
+                            assert ns == s[qi, pos], (
+                                algo, with_ends, unroll, safe_pad, go, ge, i
+                            )
+                            if with_ends and len(seqs[i]):
+                                assert (nqe, nte) == (
+                                    qe[qi, pos], te[qi, pos]
+                                ), (algo, unroll, safe_pad, go, ge, i)
