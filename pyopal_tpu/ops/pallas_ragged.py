@@ -49,7 +49,7 @@ from .pallas_kernel import (
 
 LANES = 128
 CHUNK = 128  # default target columns per grid step (= flat-layout quantum)
-UNROLL = 4  # column-loop unroll factor (ILP across F-scan chains)
+UNROLL = 16  # column-loop unroll factor (ILP across F-scan chains)
 #: Flat packing pads target columns with this symbol.  When the
 #: alphabet has <= 31 letters, profile column 31 is PAD_SCORE for every
 #: query row, so out-of-range columns decay to 0 under the SW clamp and
@@ -170,7 +170,10 @@ def _ragged_kernel(
     # C = cummax(tmp + ivec) (see pallas_kernel module docstring)
     ivec_f = ivec + (gof - gmin)
 
-    def column(jj):
+    def column(jj, carry):
+        # DP state and trackers ride the loop carry (vector registers);
+        # VMEM scratch is only touched once per grid step
+        H, E, best, cap, bi, bj, lc = carry
         j = c * chunk + jj
         sym = targets_ref[pl.ds(jj, 1), :]  # (1, LANES)
         onehot = (alpha_iota == sym).astype(jnp.bfloat16)
@@ -181,8 +184,6 @@ def _ragged_kernel(
             preferred_element_type=jnp.float32,
         )
 
-        H = H_ref[:]
-        E = E_ref[:]
         E_new = jnp.maximum(H - gof, E - gef)
 
         jf = j.astype(jnp.float32)
@@ -215,9 +216,6 @@ def _ragged_kernel(
             F = jnp.maximum(Cs - (ivec - gmin), row0_cur - ivec) - gof
         H_new = jnp.maximum(tmp, F)
 
-        H_ref[:] = H_new
-        E_ref[:] = E_new
-
         valid = j < lengths
         at_end = j == (lengths - 1)
 
@@ -225,53 +223,66 @@ def _ragged_kernel(
             if bestvec:
                 # pad columns/rows can never win (PAD_SYMBOL scoring):
                 # one elementwise max per column, reduced at finalize
-                best_ref[:] = jnp.maximum(best_ref[:], H_new)
+                best = jnp.maximum(best, H_new)
             elif with_ends:
-                best = trk_f_ref[0:1, :]
                 colmax, coli = _first_argmax(H_new, row_iota)
                 upd = valid & (colmax > best)
-                trk_f_ref[0:1, :] = jnp.where(upd, colmax, best)
-                bi = trk_i_ref[0:1, :]
-                bj = trk_i_ref[1:2, :]
-                trk_i_ref[0:1, :] = jnp.where(upd, coli, bi)
-                trk_i_ref[1:2, :] = jnp.where(upd, j, bj)
+                best = jnp.where(upd, colmax, best)
+                bi = jnp.where(upd, coli, bi)
+                bj = jnp.where(upd, j, bj)
             else:
-                best = trk_f_ref[0:1, :]
                 colmax = jnp.max(H_new, axis=0, keepdims=True)
                 upd = valid & (colmax > best)
-                trk_f_ref[0:1, :] = jnp.where(upd, colmax, best)
+                best = jnp.where(upd, colmax, best)
         if spec.track_last_row:  # hw / ov — dynamic last row select
             rowval = jnp.max(
                 jnp.where(last_row_sel, H_new, NEG), axis=0, keepdims=True
             )
-            best = trk_f_ref[0:1, :]
             upd = valid & (rowval > best)
-            trk_f_ref[0:1, :] = jnp.where(upd, rowval, best)
+            best = jnp.where(upd, rowval, best)
             if with_ends:
-                bj = trk_i_ref[1:2, :]
-                trk_i_ref[1:2, :] = jnp.where(upd, j, bj)
+                bj = jnp.where(upd, j, bj)
         if spec.track_terminal:  # nw
-            cap = trk_f_ref[1:2, :]
             rowval = jnp.max(
                 jnp.where(last_row_sel, H_new, NEG), axis=0, keepdims=True
             )
-            trk_f_ref[1:2, :] = jnp.where(at_end, rowval, cap)
+            cap = jnp.where(at_end, rowval, cap)
         if spec.track_last_col:  # ov
-            cap = trk_f_ref[1:2, :]
             if with_ends:
                 colmax, coli = _first_argmax(H_new, row_iota)
-                lc_i = trk_i_ref[2:3, :]
-                trk_i_ref[2:3, :] = jnp.where(at_end, coli, lc_i)
+                lc = jnp.where(at_end, coli, lc)
             else:
                 colmax = jnp.max(H_new, axis=0, keepdims=True)
-            trk_f_ref[1:2, :] = jnp.where(at_end, colmax, cap)
+            cap = jnp.where(at_end, colmax, cap)
+        return H_new, E_new, best, cap, bi, bj, lc
 
-    def body(base, _):
+    def body(base, carry):
         for u in range(unroll):
-            column(base * unroll + u)
-        return 0
+            carry = column(base * unroll + u, carry)
+        return carry
 
-    jax.lax.fori_loop(0, chunk // unroll, body, 0)
+    carry0 = (
+        H_ref[:],
+        E_ref[:],
+        best_ref[:] if bestvec else trk_f_ref[0:1, :],
+        trk_f_ref[1:2, :],
+        trk_i_ref[0:1, :],
+        trk_i_ref[1:2, :],
+        trk_i_ref[2:3, :],
+    )
+    H, E, best, cap, bi, bj, lc = jax.lax.fori_loop(
+        0, chunk // unroll, body, carry0
+    )
+    H_ref[:] = H
+    E_ref[:] = E
+    if bestvec:
+        best_ref[:] = best
+    else:
+        trk_f_ref[0:1, :] = best
+    trk_f_ref[1:2, :] = cap
+    trk_i_ref[0:1, :] = bi
+    trk_i_ref[1:2, :] = bj
+    trk_i_ref[2:3, :] = lc
 
     @pl.when(is_last)
     def _finalize():

@@ -49,6 +49,7 @@ class ShardedFlat:
     last_of_step: np.ndarray  # (n_shards, steps_max) int32
     inv_shard: np.ndarray  # (n_targets,) int32
     inv_pos: np.ndarray  # (n_targets,) int32
+    chunk: int = 64  # column-chunk quantum of the per-shard layouts
 
 
 def pack_flat_sharded(sequences, n_shards: int) -> ShardedFlat:
@@ -98,7 +99,16 @@ def pack_flat_sharded(sequences, n_shards: int) -> ShardedFlat:
             inv_shard[global_i] = s
             inv_pos[global_i] = p.inv_pos[local_i]
     return ShardedFlat(
-        n, n_shards, flat, lengths, bos, cos, los, inv_shard, inv_pos
+        n,
+        n_shards,
+        flat,
+        lengths,
+        bos,
+        cos,
+        los,
+        inv_shard,
+        inv_pos,
+        chunk=packs[0].chunk if packs else 64,
     )
 
 
@@ -137,6 +147,9 @@ def sharded_search_flat(
             algorithm,
             with_ends,
             interpret=interpret,
+            # the kernel's column-chunk size MUST match the packing
+            # quantum: block row offsets are step_index * chunk
+            chunk=sf.chunk,
         )
         return s[None], qe[None], te[None]
 

@@ -161,9 +161,13 @@ class TestShardedFlat:
         S = ScoringMatrix.from_name("BLOSUM50").int_data()
         seqs = [
             rng.integers(0, 24, int(L)).astype(np.uint8)
-            for L in rng.integers(1, 150, 500)
+            for L in rng.integers(1, 150, 700)
         ]
+        # > 128 sequences per shard: multi-block shards exercise the
+        # step->row-offset arithmetic (chunk quantum must reach the
+        # kernel; a mismatch is invisible with one block per shard)
         sf = sfm.pack_flat_sharded(seqs, 4)
+        assert max(np.bincount(sf.inv_shard)) > 128
         queries = [rng.integers(0, 24, 30).astype(np.uint8)]
         profs = jnp.asarray(
             pr.make_profiles_host(queries, S), dtype=jnp.bfloat16
@@ -173,7 +177,7 @@ class TestShardedFlat:
         s, qe, te = sfm.sharded_search_flat(
             mesh, profs, qlens, sf, 3, 1, "sw", interpret=True
         )
-        for i in range(0, 500, 61):
+        for i in range(0, 700, 61):
             ns, nqe, nte = naive.score_end(queries[0], seqs[i], S, 3, 1, "sw")
             assert ns == s[0, i], i
             if len(seqs[i]):
