@@ -148,7 +148,7 @@ def _seg_kernel(
     local_last = Q - 1 - seg_off  # row of the query's final residue
     last_row_sel = row_iota == local_last
 
-    def column(jj, _):
+    def column(jj):
         j = c * chunk + jj
         sym = targets_ref[pl.ds(jj, 1), :]
         onehot = (alpha_iota == sym).astype(jnp.bfloat16)
@@ -267,9 +267,19 @@ def _seg_kernel(
                 trk_f_ref[1:2, :] = jnp.where(
                     at_end, jnp.maximum(colmax, cap), cap
                 )
+
+    # unrolled column loop: ILP across the serialized F-scan rounds
+    # (same lever as `pallas_ragged`, measured ~10% there per 2x)
+    unroll = 8
+    while chunk % unroll:
+        unroll //= 2
+
+    def body(base, _):
+        for u in range(unroll):
+            column(base * unroll + u)
         return 0
 
-    jax.lax.fori_loop(0, chunk, column, 0)
+    jax.lax.fori_loop(0, chunk // unroll, body, 0)
 
     @pl.when(is_last)
     def _finalize():
