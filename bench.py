@@ -44,7 +44,7 @@ def main():
 
     rng = np.random.default_rng(12071)
     seqs = build_database(rng)
-    n_queries = 16
+    n_queries = 32
     queries = [q[:256] for q in build_database(rng, n=n_queries, mean_len=256)]
 
     db = po.Database(seqs)
