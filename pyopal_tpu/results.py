@@ -136,6 +136,33 @@ class EndResult(ScoreResult):
         return self._target_end
 
 
+# Native (C extension) result types and bulk builders: identical
+# semantics, ~20x faster bulk construction (the per-search cost of
+# wrapping 10k+ hits used to rival the kernel time).  The Python
+# classes above remain the reference implementation and the fallback.
+try:
+    from .native import _results as _native_results
+except ImportError:  # pragma: no cover - built in CI / setup.py
+    _native_results = None
+
+if _native_results is not None:
+    ScoreResult = _native_results.ScoreResult
+    EndResult = _native_results.EndResult
+
+    def build_score_results(start, scores):  # noqa: F811
+        return _native_results.build_score_results(
+            int(start), np.ascontiguousarray(scores, dtype=np.int32)
+        )
+
+    def build_end_results(start, scores, q_ends, t_ends):  # noqa: F811
+        return _native_results.build_end_results(
+            int(start),
+            np.ascontiguousarray(scores, dtype=np.int32),
+            np.ascontiguousarray(q_ends, dtype=np.int32),
+            np.ascontiguousarray(t_ends, dtype=np.int32),
+        )
+
+
 class FullResult(EndResult):
     """The results of a search in ``full`` mode."""
 
@@ -302,11 +329,11 @@ class FullResult(EndResult):
         """
         if reference == "query":
             reflength = self._query_length
-            length = self._query_end + 1 - self._query_start
+            length = self.query_end + 1 - self._query_start
             operation = OP_DEL
         elif reference == "target":
             reflength = self._target_length
-            length = self._target_end + 1 - self._target_start
+            length = self.target_end + 1 - self._target_start
             operation = OP_INS
         else:
             raise ValueError(f"Invalid coverage reference: {reference!r}")

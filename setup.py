@@ -21,12 +21,18 @@ setup(
         "pyopal_tpu.parallel",
         "pyopal_tpu.utils",
         "pyopal_tpu.native",
+        "pyopal_tpu.tests",
     ],
     ext_modules=[
         Extension(
             "pyopal_tpu.native._encoder",
             sources=["pyopal_tpu/native/encoder.c"],
             extra_compile_args=["-O3"],
-        )
+        ),
+        Extension(
+            "pyopal_tpu.native._results",
+            sources=["pyopal_tpu/native/results.c"],
+            extra_compile_args=["-O3"],
+        ),
     ],
 )

@@ -31,8 +31,8 @@ class TestAlignBatch:
                     assert a.target_index == b.target_index
                     assert a.score == b.score
                     if mode == "end":
-                        assert a._query_end == b._query_end
-                        assert a._target_end == b._target_end
+                        assert a.query_end == b.query_end
+                        assert a.target_end == b.target_end
 
     def test_mixed_query_lengths(self):
         rng = np.random.default_rng(1)
