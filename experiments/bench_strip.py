@@ -112,11 +112,17 @@ def make_full_kernel(Q_pad, unroll):
 def make_strip_kernel(Q_pad, S, unroll):
     """Strip-blocked: outer loop over Q strips, inner over columns.
 
-    VMEM boundary scratch, written by strip s / read by strip s+1:
+    VMEM boundary scratch, written by strip s / read by strip s+1
+    *within the same chunk* (strip s runs first, and the consumer
+    reads a column's value before overwriting it with its own):
       bH_ref (CHUNK, LANES): H at strip's last row, per column
       bC_ref (CHUNK, LANES): inclusive chain max (C) at last row
-    Cross-chunk per-strip carry: Hcarry_ref (n_strips, LANES) holds the
-    last-row H at the previous chunk's final column (diag for column 0).
+    Cross-chunk per-strip carry (the strip-above's last-row H at the
+    previous chunk's final column, needed for column 0's diag) is
+    double-buffered by chunk parity — within a chunk, strip s-1
+    overwrites its slot before strip s runs, so a single buffer would
+    hand strip s a value one chunk too new:
+      Hcarry_ref (2 * n_strips, LANES), slot (c%2)*n_strips + s.
     """
     n_strips = Q_pad // S
 
@@ -126,15 +132,15 @@ def make_strip_kernel(Q_pad, S, unroll):
     ):
         c = pl.program_id(0)
 
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 0)
+        alpha_iota = jax.lax.broadcasted_iota(jnp.int32, (ALPHA, LANES), 0)
+
         @pl.when(c == 0)
         def _init():
             H_ref[:] = jnp.zeros((Q_pad, LANES), jnp.float32)
             E_ref[:] = jnp.full((Q_pad, LANES), NEG, jnp.float32)
             best_ref[:] = jnp.zeros((Q_pad, LANES), jnp.float32)
-            Hcarry_ref[:] = jnp.zeros((n_strips, LANES), jnp.float32)
-
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (S, LANES), 0)
-        alpha_iota = jax.lax.broadcasted_iota(jnp.int32, (ALPHA, LANES), 0)
+            Hcarry_ref[:] = jnp.zeros((2 * n_strips, LANES), jnp.float32)
 
         def strip(s, _):
             base_f = (s * S).astype(jnp.float32)
@@ -144,7 +150,11 @@ def make_strip_kernel(Q_pad, S, unroll):
             is_first = s == 0
 
             def column(jj, carry):
-                H, E, best, bH_prev = carry
+                H, E, best, top_prev = carry
+                # read the strip-above boundary at THIS column before
+                # overwriting it below; consumed as next column's diag
+                bH_above = bH_ref[pl.ds(jj, 1), :]
+                Cin = jnp.where(is_first, NEG, bC_ref[pl.ds(jj, 1), :])
                 sym = targets_ref[pl.ds(jj, 1), :]
                 onehot = (alpha_iota == sym).astype(jnp.bfloat16)
                 prof_col = jax.lax.dot_general(
@@ -156,13 +166,12 @@ def make_strip_kernel(Q_pad, S, unroll):
                 shifted = _shift_down(H, 1, 0.0)
                 # row 0 of this strip: diag comes from the strip above
                 # (H at its last row, previous column)
-                top = jnp.where(is_first, 0.0, bH_prev)
+                top = jnp.where(is_first, 0.0, top_prev)
                 shifted = jnp.where(row_iota == 0, top, shifted)
                 diag = shifted + prof_col
                 tmp = jnp.maximum(jnp.maximum(diag, E_new), 0.0)
                 # chain entering this strip: C at strip above's last
                 # row, same column (vertical chain)
-                Cin = jnp.where(is_first, NEG, bC_ref[pl.ds(jj, 1), :])
                 C = jnp.maximum(_cummax(tmp + ivec), Cin)
                 # exclusive shift with the incoming chain at row 0
                 F = jnp.concatenate([Cin, C[: S - 1]], axis=0) - ivec_f
@@ -170,26 +179,31 @@ def make_strip_kernel(Q_pad, S, unroll):
                 best = jnp.maximum(best, H_new)
                 bH_ref[pl.ds(jj, 1), :] = H_new[S - 1 : S, :]
                 bC_ref[pl.ds(jj, 1), :] = C[S - 1 : S, :]
-                return H_new, E_new, best, H_new[S - 1 : S, :]
+                return H_new, E_new, best, bH_above
 
             def body(base, carry):
                 for u in range(unroll):
                     carry = column(base * unroll + u, carry)
                 return carry
 
+            # column 0's diag top: strip-above's last-row H at the
+            # previous chunk's final column (prev-parity buffer)
+            s_above = jnp.maximum(s - 1, 0)  # s=0 is masked by is_first
+            top0 = Hcarry_ref[pl.ds(((c + 1) % 2) * n_strips + s_above, 1), :]
+            top0 = jnp.where((c == 0) | is_first, 0.0, top0)
             carry0 = (
                 H_ref[pl.ds(s * S, S), :],
                 E_ref[pl.ds(s * S, S), :],
                 best_ref[pl.ds(s * S, S), :],
-                Hcarry_ref[pl.ds(s, 1), :],
+                top0,
             )
-            H, E, best, bH_last = jax.lax.fori_loop(
+            H, E, best, _ = jax.lax.fori_loop(
                 0, CHUNK // unroll, body, carry0
             )
             H_ref[pl.ds(s * S, S), :] = H
             E_ref[pl.ds(s * S, S), :] = E
             best_ref[pl.ds(s * S, S), :] = best
-            Hcarry_ref[pl.ds(s, 1), :] = bH_last
+            Hcarry_ref[pl.ds((c % 2) * n_strips + s, 1), :] = H[S - 1 : S, :]
             return 0
 
         jax.lax.fori_loop(0, n_strips, strip, 0)
@@ -217,7 +231,7 @@ def run(prof, targets, variant, Q_pad, S=64, unroll=4):
         ] + [
             pltpu.VMEM((CHUNK, LANES), jnp.float32),
             pltpu.VMEM((CHUNK, LANES), jnp.float32),
-            pltpu.VMEM((Q_pad // S, LANES), jnp.float32),
+            pltpu.VMEM((2 * (Q_pad // S), LANES), jnp.float32),
         ]
     return pl.pallas_call(
         kernel,
@@ -251,14 +265,12 @@ def main():
         rows = []
         for variant, S, unroll in [
             ("full", 0, 4),
-            ("strip", 8, 4),
-            ("strip", 16, 4),
-            ("strip", 32, 4),
-            ("strip", 64, 4),
-            ("strip", 128, 4),
-            ("strip", 256, 4),
+            ("full", 0, 8),
+            ("full", 0, 8),  # repeat: measurement-stability check
+            ("full", 0, 16),
             ("strip", 64, 8),
             ("strip", 128, 8),
+            ("strip", 256, 8),
         ]:
             if variant == "strip" and S >= Q_pad:
                 continue

@@ -260,7 +260,14 @@ def search_scores_batch(
         from . import pallas_ragged as pr
 
         device_ok = [
-            q.shape[0] > 0 and pr.supports(q.shape[0]) for q in queries_enc
+            q.shape[0] > 0
+            and pr.supports(
+                q.shape[0],
+                algorithm,
+                with_ends,
+                safe_pad=matrix.shape[1] <= 31,
+            )
+            for q in queries_enc
         ]
     else:
         device_ok = [q.shape[0] > 0 for q in queries_enc]

@@ -62,9 +62,42 @@ PAD_SYMBOL = 31
 #: (~6 live (Q_pad, LANES) f32 arrays) blow the 16 MB scoped-VMEM limit.
 RAGGED_MAX_QPAD = 2048
 
+#: Strip height for the strip-blocked bestvec kernel (SW score-only).
+#: Strips cut the exact F max-scan from log2(Q_pad) to log2(STRIP)
+#: shift+max rounds per column at the cost of per-column boundary
+#: carries in VMEM; measured +20% at Q_pad >= 1024
+#: (experiments/bench_strip.py, validated cell-exact vs the full scan).
+STRIP = 256
+#: Use the strip kernel at tiers where the scan saving beats the
+#: boundary-carry overhead (at 256 it ties; below it loses).
+STRIP_MIN_QPAD = 512
 
-def supports(Q: int) -> bool:
-    return 0 < Q <= RAGGED_MAX_QPAD
+
+#: The strip-blocked bestvec kernel's ceiling: its live column-loop
+#: temporaries are (STRIP, LANES) regardless of tier, so only the
+#: H/E/best scratch (3 x Q_pad x 128 f32 = 6.3 MB at 4096) bounds it.
+RAGGED_MAX_QPAD_STRIP = 4096
+
+
+def supports(
+    Q: int,
+    algorithm: str = "sw",
+    with_ends: bool = True,
+    safe_pad: bool = False,
+) -> bool:
+    """Whether `search_flat` can take a query of length ``Q``.
+
+    The generic (tracked) kernel tops out at `RAGGED_MAX_QPAD`; the
+    strip-blocked bestvec variant (sw score-only with PAD_SYMBOL-safe
+    packing) extends to `RAGGED_MAX_QPAD_STRIP`.  Defaults are the
+    conservative (generic) answer.
+    """
+    if not 0 < Q:
+        return False
+    if Q <= RAGGED_MAX_QPAD:
+        return True
+    bestvec = algorithm == "sw" and not with_ends and safe_pad
+    return bestvec and Q <= RAGGED_MAX_QPAD_STRIP
 
 
 def profile_qpad(Q: int) -> int:
@@ -320,6 +353,148 @@ def _ragged_kernel(
         tend_ref[0, 0, 0:1, :] = te
 
 
+def _ragged_kernel_strip(
+    # scalar prefetch
+    bos_ref,
+    cos_ref,
+    los_ref,
+    qlen_ref,
+    # inputs
+    prof_ref,  # (1, Q_pad, 32) bf16 (current query)
+    targets_ref,  # (chunk, LANES) int32
+    lengths_ref,  # (1, 1, LANES) int32 (unused: PAD_SYMBOL masking)
+    # outputs
+    scores_ref,
+    qend_ref,
+    tend_ref,
+    # scratch
+    H_ref,  # (Q_pad, LANES) f32
+    E_ref,  # (Q_pad, LANES) f32
+    best_ref,  # (Q_pad, LANES) f32 running elementwise max
+    bH_ref,  # (chunk, LANES) f32: strip's last-row H per column
+    bC_ref,  # (chunk, LANES) f32: inclusive chain max at last row
+    Hcarry_ref,  # (2 * n_strips, LANES) f32: cross-chunk carry
+    *,
+    go: int,
+    ge: int,
+    chunk: int,
+    unroll: int,
+    strip: int,
+):
+    """Strip-blocked SW score-only (bestvec) variant of `_ragged_kernel`.
+
+    The query rows are processed in strips of ``strip`` rows (outer
+    fori_loop), columns inner.  The exact F resolution then only scans
+    ``strip`` rows — max-scan is associative, so the chain entering
+    strip ``s+1`` at column ``j`` is exactly the inclusive scan value at
+    strip ``s``'s last row (``bC_ref[j]``), and the diag term for row 0
+    is the strip-above's last-row H at column ``j-1`` (``bH_ref[j]``
+    read before being overwritten, carried one column in registers).
+    Cross-chunk, the strip-above's H at the previous chunk's *final*
+    column is double-buffered by chunk parity in ``Hcarry_ref``: within
+    a chunk strip ``s-1`` writes its slot before strip ``s`` runs, so a
+    single buffer would hand strip ``s`` a value one chunk too new.
+
+    Only the bestvec path is supported (flat packing with PAD_SYMBOL,
+    alphabet <= 31): tracking is a running elementwise max, which
+    commutes with strip order.  Validated cell-exact against the
+    full-scan kernel (experiments/bench_strip.py).
+    """
+    Q_pad, L = H_ref.shape
+    S = strip
+    n_strips = Q_pad // S
+    i = pl.program_id(1)
+    c = cos_ref[i]
+    is_last = los_ref[i] == 1
+
+    gof = np.float32(go)
+    gef = np.float32(ge)
+    gmin = np.float32(min(go, ge))
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
+    alpha_iota = jax.lax.broadcasted_iota(jnp.int32, (ALPHA, L), 0)
+
+    @pl.when(c == 0)
+    def _init():
+        H_ref[:] = jnp.zeros((Q_pad, L), jnp.float32)
+        E_ref[:] = jnp.full((Q_pad, L), NEG, jnp.float32)
+        best_ref[:] = jnp.zeros((Q_pad, L), jnp.float32)
+        Hcarry_ref[:] = jnp.zeros((2 * n_strips, L), jnp.float32)
+
+    def strip_body(s, _):
+        base_f = (s * S).astype(jnp.float32)
+        ivec = row_iota.astype(jnp.float32) * gmin + base_f * gmin
+        ivec_f = ivec + (gof - gmin)
+        prof = prof_ref[0, pl.ds(s * S, S), :]
+        is_first = s == 0
+
+        def column(jj, carry):
+            H, E, best, top_prev = carry
+            # read the strip-above boundary at THIS column before
+            # overwriting it below; consumed as next column's diag
+            bH_above = bH_ref[pl.ds(jj, 1), :]
+            Cin = jnp.where(is_first, NEG, bC_ref[pl.ds(jj, 1), :])
+            sym = targets_ref[pl.ds(jj, 1), :]
+            onehot = (alpha_iota == sym).astype(jnp.bfloat16)
+            prof_col = jax.lax.dot_general(
+                prof,
+                onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            E_new = jnp.maximum(H - gof, E - gef)
+            shifted = _shift_down(H, 1, 0.0)
+            # row 0 of this strip: diag comes from the strip above
+            # (H at its last row, previous column)
+            top = jnp.where(is_first, 0.0, top_prev)
+            shifted = jnp.where(row_iota == 0, top, shifted)
+            diag = shifted + prof_col
+            tmp = jnp.maximum(jnp.maximum(diag, E_new), 0.0)
+            # chain entering this strip: C at strip above's last row,
+            # same column (vertical gap chain crossing the boundary)
+            C = jnp.maximum(_cummax(tmp + ivec), Cin)
+            # exclusive shift with the incoming chain at row 0; the sw
+            # row-0 boundary F candidate is < 0 <= tmp, hence absent
+            F = jnp.concatenate([Cin, C[: S - 1]], axis=0) - ivec_f
+            H_new = jnp.maximum(tmp, F)
+            best = jnp.maximum(best, H_new)
+            bH_ref[pl.ds(jj, 1), :] = H_new[S - 1 : S, :]
+            bC_ref[pl.ds(jj, 1), :] = C[S - 1 : S, :]
+            return H_new, E_new, best, bH_above
+
+        def body(base, carry):
+            for u in range(unroll):
+                carry = column(base * unroll + u, carry)
+            return carry
+
+        # column 0's diag top: strip-above's last-row H at the previous
+        # chunk's final column (previous-parity buffer)
+        s_above = jnp.maximum(s - 1, 0)  # s=0 is masked by is_first
+        top0 = Hcarry_ref[pl.ds(((c + 1) % 2) * n_strips + s_above, 1), :]
+        top0 = jnp.where((c == 0) | is_first, 0.0, top0)
+        carry0 = (
+            H_ref[pl.ds(s * S, S), :],
+            E_ref[pl.ds(s * S, S), :],
+            best_ref[pl.ds(s * S, S), :],
+            top0,
+        )
+        H, E, best, _ = jax.lax.fori_loop(0, chunk // unroll, body, carry0)
+        H_ref[pl.ds(s * S, S), :] = H
+        E_ref[pl.ds(s * S, S), :] = E
+        best_ref[pl.ds(s * S, S), :] = best
+        Hcarry_ref[pl.ds((c % 2) * n_strips + s, 1), :] = H[S - 1 : S, :]
+        return 0
+
+    jax.lax.fori_loop(0, n_strips, strip_body, 0)
+
+    @pl.when(is_last)
+    def _finalize():
+        best = jnp.max(best_ref[:], axis=0, keepdims=True)
+        scores_ref[0, 0, 0:1, :] = best.astype(jnp.int32)
+        qend_ref[0, 0, 0:1, :] = jnp.full((1, L), -1, jnp.int32)
+        tend_ref[0, 0, 0:1, :] = jnp.full((1, L), -1, jnp.int32)
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -361,25 +536,47 @@ def search_flat(
 
     while chunk % unroll:
         unroll //= 2
-    # scoped-VMEM pressure scales with unroll x live (Q_pad, LANES)
-    # temporaries; shrink the unroll at the largest tier
-    if Q_pad > 1024:
-        unroll = min(unroll, 2)
     # bestvec: SW score-only running-max tracking; requires flat packing
     # padded with PAD_SYMBOL and profile column PAD_SYMBOL == PAD_SCORE
     # (alphabet <= 31 letters, signalled by the caller via safe_pad)
     bestvec = algorithm == "sw" and not with_ends and safe_pad
+    # strip-blocked variant: F-scan depth log2(STRIP) instead of
+    # log2(Q_pad); live column-loop temporaries are (STRIP, LANES) so
+    # no unroll cap is needed at large tiers
+    strip_mode = bestvec and Q_pad >= STRIP_MIN_QPAD
+    if Q_pad > RAGGED_MAX_QPAD and not strip_mode:
+        raise ValueError(
+            f"query tier {Q_pad} needs the strip-blocked bestvec path "
+            "(sw score-only, safe_pad); use the segmented long-query "
+            "kernel for tracked modes (see engine.search_scores_batch)"
+        )
+    if strip_mode:
+        unroll = min(unroll, 8)
+    elif Q_pad > 1024:
+        # scoped-VMEM pressure scales with unroll x live (Q_pad, LANES)
+        # temporaries; shrink the unroll at the largest tier
+        unroll = min(unroll, 2)
 
-    kernel = partial(
-        _ragged_kernel,
-        algorithm=algorithm,
-        go=int(go),
-        ge=int(ge),
-        with_ends=with_ends,
-        chunk=chunk,
-        unroll=unroll,
-        bestvec=bestvec,
-    )
+    if strip_mode:
+        kernel = partial(
+            _ragged_kernel_strip,
+            go=int(go),
+            ge=int(ge),
+            chunk=chunk,
+            unroll=unroll,
+            strip=STRIP,
+        )
+    else:
+        kernel = partial(
+            _ragged_kernel,
+            algorithm=algorithm,
+            go=int(go),
+            ge=int(ge),
+            with_ends=with_ends,
+            chunk=chunk,
+            unroll=unroll,
+            bestvec=bestvec,
+        )
     out_shape = [
         jax.ShapeDtypeStruct((n_q, n_blocks, 1, LANES), jnp.int32)
         for _ in range(3)
@@ -408,15 +605,26 @@ def search_flat(
             ),
         ],
         out_specs=[out_spec, out_spec, out_spec],
-        scratch_shapes=[
-            pltpu.VMEM((Q_pad, LANES), jnp.float32),
-            pltpu.VMEM((Q_pad, LANES), jnp.float32),
-            pltpu.VMEM((8, LANES), jnp.float32),
-            pltpu.VMEM((8, LANES), jnp.int32),
-            pltpu.VMEM(
-                (Q_pad if bestvec else 8, LANES), jnp.float32
-            ),
-        ],
+        scratch_shapes=(
+            [
+                pltpu.VMEM((Q_pad, LANES), jnp.float32),
+                pltpu.VMEM((Q_pad, LANES), jnp.float32),
+                pltpu.VMEM((Q_pad, LANES), jnp.float32),
+                pltpu.VMEM((chunk, LANES), jnp.float32),
+                pltpu.VMEM((chunk, LANES), jnp.float32),
+                pltpu.VMEM((2 * (Q_pad // STRIP), LANES), jnp.float32),
+            ]
+            if strip_mode
+            else [
+                pltpu.VMEM((Q_pad, LANES), jnp.float32),
+                pltpu.VMEM((Q_pad, LANES), jnp.float32),
+                pltpu.VMEM((8, LANES), jnp.float32),
+                pltpu.VMEM((8, LANES), jnp.int32),
+                pltpu.VMEM(
+                    (Q_pad if bestvec else 8, LANES), jnp.float32
+                ),
+            ]
+        ),
     )
     flops_per_cell = 24
     cost = pl.CostEstimate(

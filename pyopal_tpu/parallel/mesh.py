@@ -16,6 +16,39 @@ from jax.sharding import Mesh
 DB_AXIS = "db"
 
 
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Initialize multi-host JAX for cross-host database sharding.
+
+    Thin wrapper over `jax.distributed.initialize` (auto-detecting on
+    TPU pods when called with no arguments).  After this,
+    `device_mesh()` spans every chip in the pod, `pack_flat_sharded`
+    distributes database blocks round-robin across all of them, and
+    the ``shard_map`` search + top-k merge collectives in
+    `pyopal_tpu.parallel.sharded_flat` ride ICI within a slice and DCN
+    across slices — the multi-host analog of the reference's
+    thread-pool chunking (``_align.py:144-172``), with the same
+    invariant: chunking never changes scores and ``target_index``
+    stays global.
+
+    Call once per process, before any other JAX API.  No-op if the
+    distributed runtime is already initialized.
+    """
+    if jax._src.distributed.global_state.client is not None:
+        return
+    kwargs = {}
+    if coordinator_address is not None:
+        kwargs["coordinator_address"] = coordinator_address
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+
+
 def device_mesh(n_devices: int | None = None) -> Mesh:
     """A 1-D mesh over ``n_devices`` (default: all) with axis ``"db"``."""
     devices = jax.devices()

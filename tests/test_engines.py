@@ -272,3 +272,66 @@ def test_ragged_flat_matches_naive():
                                 assert (nqe, nte) == (
                                     qe[qi, pos], te[qi, pos]
                                 ), (algo, unroll, safe_pad, go, ge, i)
+
+
+def test_ragged_flat_strip_matches_naive():
+    """Strip-blocked bestvec kernel (interpret) == oracle.
+
+    sw score-only with safe_pad at a >=512 query tier routes to
+    `_ragged_kernel_strip` (strip height 256, boundary carries across
+    strips and chunks); cross-checked against the scalar oracle on
+    targets spanning multiple 64-column chunks.
+    """
+    import jax.numpy as jnp
+    from pyopal_tpu.ops import pallas_ragged as pr
+
+    rng = np.random.default_rng(57)
+    seqs = [
+        rng.integers(0, 24, int(L)).astype(np.uint8)
+        for L in (0, 5, 63, 64, 65, 130, 200, 40)
+    ]
+    fp = packing.pack_sequences_flat(seqs)
+    flat_t = jnp.asarray(fp.flat_targets)
+    lengths = jnp.asarray(fp.lengths)
+    bos = jnp.asarray(fp.block_of_step)
+    cos = jnp.asarray(fp.chunk_of_step)
+    los = jnp.asarray(fp.last_of_step)
+    idx = fp.indices.reshape(-1)
+
+    # 300 > 256 -> tier 512 >= STRIP_MIN_QPAD: strip kernel engaged
+    queries = [rng.integers(0, 24, 300).astype(np.uint8)]
+    profs = jnp.asarray(pr.make_profiles_host(queries, S), jnp.bfloat16)
+    qlens = jnp.asarray([len(q) for q in queries], jnp.int32)
+    assert profs.shape[1] >= pr.STRIP_MIN_QPAD
+
+    for go, ge in [(3, 1), (1, 3)]:
+        s, _, _ = pr.search_flat(
+            profs, qlens, flat_t, lengths, bos, cos, los,
+            go, ge, "sw", False, interpret=True,
+            chunk=fp.chunk, safe_pad=True,
+        )
+        s = np.asarray(s).reshape(-1)
+        for pos in range(idx.shape[0]):
+            i = idx[pos]
+            if i < 0:
+                continue
+            ns, _, _ = naive.score_end(
+                queries[0], seqs[i], S, go, ge, "sw"
+            )
+            assert ns == s[pos], (go, ge, i, ns, s[pos])
+
+
+def test_ragged_supports_mode_aware():
+    """Tiers above 2048 are strip-only: sw score-only with safe_pad."""
+    from pyopal_tpu.ops import pallas_ragged as pr
+
+    assert pr.supports(2048, "nw", True, False)
+    assert pr.supports(3000, "sw", False, True)
+    assert pr.supports(4096, "sw", False, True)
+    assert not pr.supports(3000, "sw", True, True)   # ends tracked
+    assert not pr.supports(3000, "nw", False, True)  # not sw
+    assert not pr.supports(3000, "sw", False, False)  # unsafe padding
+    assert not pr.supports(4097, "sw", False, True)  # beyond ceiling
+    assert not pr.supports(0)
+    # default (mode-less) callers keep the conservative ceiling
+    assert pr.supports(2048) and not pr.supports(2049)
