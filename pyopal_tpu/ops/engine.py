@@ -254,8 +254,14 @@ def search_scores_batch(
     queries_enc = [np.asarray(q, dtype=np.uint8) for q in queries_enc]
 
     # queries the device engines cannot take (empty / beyond VMEM tier)
-    # are answered by the host paths below
-    use_pallas = _backend_kind() == "tpu"
+    # are answered by the host paths below.  The Pallas kernels look up
+    # profile scores through a bf16 MXU matmul, exact only for integer
+    # entries within +-256; larger (custom) matrices take the int32 XLA
+    # engine instead.
+    use_pallas = (
+        _backend_kind() == "tpu"
+        and np.abs(matrix).max(initial=0) <= 256
+    )
     if use_pallas:
         from . import pallas_ragged as pr
 

@@ -51,7 +51,14 @@ ALPHA = 32  # padded alphabet/contraction dim (MAX_ALPHABET_SIZE)
 COL_CHUNK = 256  # target columns processed per grid step
 MAX_QPAD = 4096  # VMEM budget for H/E state; longer queries fall back
 NEG = np.float32(-1.0e30)
-PAD_SCORE = np.float32(-30000.0)  # profile rows beyond the true query
+#: Profile rows beyond the true query (and, under safe_pad flat
+#: packing, the PAD_SYMBOL column) score this.  It must dominate any
+#: legitimate H value so padded rows/columns can never win a running
+#: max: |H| <= Q_max * max|S| = 4096 * 256 ~= 1.05e6 (the engine routes
+#: matrices with entries beyond bf16's exact-integer range of +-256 to
+#: the int32 XLA path), so -4e6 guarantees H + PAD_SCORE < 0 while
+#: keeping all DP values well inside fp32's exact-integer domain (2^24).
+PAD_SCORE = np.float32(-4.0e6)
 
 
 def supports(Q: int) -> bool:

@@ -88,16 +88,18 @@ def supports(
     """Whether `search_flat` can take a query of length ``Q``.
 
     The generic (tracked) kernel tops out at `RAGGED_MAX_QPAD`; the
-    strip-blocked bestvec variant (sw score-only with PAD_SYMBOL-safe
-    packing) extends to `RAGGED_MAX_QPAD_STRIP`.  Defaults are the
-    conservative (generic) answer.
+    strip-blocked score-only variant extends to
+    `RAGGED_MAX_QPAD_STRIP` for all four algorithms.  Defaults are the
+    conservative (generic) answer.  ``algorithm`` and ``safe_pad`` are
+    kept for call-site symmetry with `search_flat`; only the mode
+    (score-only vs ends) moves the ceiling.
     """
+    del algorithm, safe_pad
     if not 0 < Q:
         return False
     if Q <= RAGGED_MAX_QPAD:
         return True
-    bestvec = algorithm == "sw" and not with_ends and safe_pad
-    return bestvec and Q <= RAGGED_MAX_QPAD_STRIP
+    return (not with_ends) and Q <= RAGGED_MAX_QPAD_STRIP
 
 
 def profile_qpad(Q: int) -> int:
@@ -362,7 +364,7 @@ def _ragged_kernel_strip(
     # inputs
     prof_ref,  # (1, Q_pad, 32) bf16 (current query)
     targets_ref,  # (chunk, LANES) int32
-    lengths_ref,  # (1, 1, LANES) int32 (unused: PAD_SYMBOL masking)
+    lengths_ref,  # (1, 1, LANES) int32
     # outputs
     scores_ref,
     qend_ref,
@@ -370,18 +372,21 @@ def _ragged_kernel_strip(
     # scratch
     H_ref,  # (Q_pad, LANES) f32
     E_ref,  # (Q_pad, LANES) f32
-    best_ref,  # (Q_pad, LANES) f32 running elementwise max
+    best_ref,  # (Q_pad, LANES) f32 elementwise max (bestvec) or (8, .)
     bH_ref,  # (chunk, LANES) f32: strip's last-row H per column
     bC_ref,  # (chunk, LANES) f32: inclusive chain max at last row
     Hcarry_ref,  # (2 * n_strips, LANES) f32: cross-chunk carry
+    trk_ref,  # (2, LANES) f32: 0=best (last-row/colmax), 1=cap
     *,
+    algorithm: str,
     go: int,
     ge: int,
     chunk: int,
     unroll: int,
     strip: int,
+    bestvec: bool,
 ):
-    """Strip-blocked SW score-only (bestvec) variant of `_ragged_kernel`.
+    """Strip-blocked score-only variant of `_ragged_kernel`.
 
     The query rows are processed in strips of ``strip`` rows (outer
     fori_loop), columns inner.  The exact F resolution then only scans
@@ -394,46 +399,96 @@ def _ragged_kernel_strip(
     column is double-buffered by chunk parity in ``Hcarry_ref``: within
     a chunk strip ``s-1`` writes its slot before strip ``s`` runs, so a
     single buffer would hand strip ``s`` a value one chunk too new.
+    The penalized row-0 boundary chain (nw) enters strip 0's F through
+    ``Cin = row0_boundary - gmin`` — a virtual row -1 in the scan's
+    normalized domain — and propagates to lower strips through ``bC``.
 
-    Only the bestvec path is supported (flat packing with PAD_SYMBOL,
-    alphabet <= 31): tracking is a running elementwise max, which
-    commutes with strip order.  Validated cell-exact against the
-    full-scan kernel (experiments/bench_strip.py).
+    Score-only tracking commutes with strip order (everything merges by
+    max; the nw terminal cell is written by exactly one strip/column and
+    merges by select), so all four algorithms are supported — but not
+    end tracking, whose first-argmax tie-breaking is column-ordered.
+    With ``bestvec`` (sw + PAD_SYMBOL-safe packing) tracking is a
+    running elementwise max with no per-column reduction or masking.
+    Validated against the full-scan kernel and the scalar oracle
+    (experiments/bench_strip.py, tests/test_engines.py).
     """
+    spec = ALGORITHMS[algorithm]
     Q_pad, L = H_ref.shape
     S = strip
     n_strips = Q_pad // S
+    qi = pl.program_id(0)
     i = pl.program_id(1)
     c = cos_ref[i]
     is_last = los_ref[i] == 1
+    Q = qlen_ref[qi]
+    Qf = Q.astype(jnp.float32)
 
     gof = np.float32(go)
     gef = np.float32(ge)
     gmin = np.float32(min(go, ge))
+    NEGH = np.float32(-5.0e29)  # "was this sentinel overwritten" bar
 
+    lengths = lengths_ref[0, 0:1, :]
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
     alpha_iota = jax.lax.broadcasted_iota(jnp.int32, (ALPHA, L), 0)
 
     @pl.when(c == 0)
     def _init():
-        H_ref[:] = jnp.zeros((Q_pad, L), jnp.float32)
+        giota = jax.lax.broadcasted_iota(jnp.int32, (Q_pad, L), 0)
+        if spec.penalize_first_col:
+            H_ref[:] = -(gof + giota.astype(jnp.float32) * gef)
+        else:
+            H_ref[:] = jnp.zeros((Q_pad, L), jnp.float32)
         E_ref[:] = jnp.full((Q_pad, L), NEG, jnp.float32)
-        best_ref[:] = jnp.zeros((Q_pad, L), jnp.float32)
+        if bestvec:
+            best_ref[:] = jnp.zeros((Q_pad, L), jnp.float32)
+        # tracker init values mirror `_ragged_kernel` (empty-target
+        # semantics: nw/hw score of a zero-length lane)
+        if spec.track_terminal:
+            cap0 = -(gof + (Qf - 1.0) * gef)
+        else:
+            cap0 = NEG
+        if spec.track_last_row and spec.penalize_first_col:
+            best0 = -(gof + (Qf - 1.0) * gef)
+        else:
+            best0 = jnp.float32(0.0)
+        trk_ref[0:1, :] = jnp.full((1, L), best0, jnp.float32)
+        trk_ref[1:2, :] = jnp.full((1, L), cap0, jnp.float32)
         Hcarry_ref[:] = jnp.zeros((2 * n_strips, L), jnp.float32)
 
+    track_best = spec.track_last_row or (
+        spec.track_all_cells and not bestvec
+    )
+
     def strip_body(s, _):
-        base_f = (s * S).astype(jnp.float32)
+        base = s * S
+        base_f = base.astype(jnp.float32)
         ivec = row_iota.astype(jnp.float32) * gmin + base_f * gmin
         ivec_f = ivec + (gof - gmin)
-        prof = prof_ref[0, pl.ds(s * S, S), :]
+        prof = prof_ref[0, pl.ds(base, S), :]
         is_first = s == 0
+        # last-row select for this strip (dynamic true query length)
+        last_row_sel = (row_iota + base) == (Q - 1)
 
         def column(jj, carry):
-            H, E, best, top_prev = carry
+            H, E, best, bpart, cpart, top_prev = carry
+            j = c * chunk + jj
             # read the strip-above boundary at THIS column before
             # overwriting it below; consumed as next column's diag
             bH_above = bH_ref[pl.ds(jj, 1), :]
-            Cin = jnp.where(is_first, NEG, bC_ref[pl.ds(jj, 1), :])
+            if spec.clamp_zero:
+                # sw: the row-0 boundary F candidate is < 0 <= tmp
+                cin0 = NEG
+            else:
+                # virtual row -1 of the normalized scan domain: the
+                # (possibly penalized) row-0 boundary H at column j
+                jf = j.astype(jnp.float32)
+                if spec.penalize_first_row:
+                    row0_cur = -(gof + jf * gef)
+                else:
+                    row0_cur = jnp.float32(0.0)
+                cin0 = row0_cur - gmin
+            Cin = jnp.where(is_first, cin0, bC_ref[pl.ds(jj, 1), :])
             sym = targets_ref[pl.ds(jj, 1), :]
             onehot = (alpha_iota == sym).astype(jnp.bfloat16)
             prof_col = jax.lax.dot_general(
@@ -446,42 +501,101 @@ def _ragged_kernel_strip(
             shifted = _shift_down(H, 1, 0.0)
             # row 0 of this strip: diag comes from the strip above
             # (H at its last row, previous column)
-            top = jnp.where(is_first, 0.0, top_prev)
+            if spec.penalize_first_row:
+                jf = j.astype(jnp.float32)
+                row0_prev = jnp.where(
+                    j == 0, 0.0, -(gof + (jf - 1.0) * gef)
+                )
+            else:
+                row0_prev = jnp.float32(0.0)
+            top = jnp.where(is_first, row0_prev, top_prev)
             shifted = jnp.where(row_iota == 0, top, shifted)
             diag = shifted + prof_col
-            tmp = jnp.maximum(jnp.maximum(diag, E_new), 0.0)
+            tmp = jnp.maximum(diag, E_new)
+            if spec.clamp_zero:
+                tmp = jnp.maximum(tmp, 0.0)
             # chain entering this strip: C at strip above's last row,
             # same column (vertical gap chain crossing the boundary)
             C = jnp.maximum(_cummax(tmp + ivec), Cin)
-            # exclusive shift with the incoming chain at row 0; the sw
-            # row-0 boundary F candidate is < 0 <= tmp, hence absent
+            # exclusive shift with the incoming chain at row 0
             F = jnp.concatenate([Cin, C[: S - 1]], axis=0) - ivec_f
             H_new = jnp.maximum(tmp, F)
-            best = jnp.maximum(best, H_new)
+
+            if bestvec:
+                best = jnp.maximum(best, H_new)
+            else:
+                valid = j < lengths
+                at_end = j == (lengths - 1)
+                if spec.track_all_cells:  # sw without safe packing
+                    colmax = jnp.max(H_new, axis=0, keepdims=True)
+                    bpart = jnp.maximum(
+                        bpart, jnp.where(valid, colmax, NEG)
+                    )
+                if spec.track_last_row:  # hw / ov
+                    rowval = jnp.max(
+                        jnp.where(last_row_sel, H_new, NEG),
+                        axis=0,
+                        keepdims=True,
+                    )
+                    bpart = jnp.maximum(
+                        bpart, jnp.where(valid, rowval, NEG)
+                    )
+                if spec.track_terminal:  # nw: exactly one hit per lane
+                    rowval = jnp.max(
+                        jnp.where(last_row_sel, H_new, NEG),
+                        axis=0,
+                        keepdims=True,
+                    )
+                    cpart = jnp.where(at_end, rowval, cpart)
+                if spec.track_last_col:  # ov: strips share the column
+                    colmax = jnp.max(H_new, axis=0, keepdims=True)
+                    cpart = jnp.maximum(
+                        cpart, jnp.where(at_end, colmax, NEG)
+                    )
             bH_ref[pl.ds(jj, 1), :] = H_new[S - 1 : S, :]
             bC_ref[pl.ds(jj, 1), :] = C[S - 1 : S, :]
-            return H_new, E_new, best, bH_above
+            return H_new, E_new, best, bpart, cpart, bH_above
 
-        def body(base, carry):
+        def body(b, carry):
             for u in range(unroll):
-                carry = column(base * unroll + u, carry)
+                carry = column(b * unroll + u, carry)
             return carry
 
         # column 0's diag top: strip-above's last-row H at the previous
-        # chunk's final column (previous-parity buffer)
+        # chunk's final column (previous-parity buffer); at the block's
+        # first chunk it is the column -1 boundary instead
         s_above = jnp.maximum(s - 1, 0)  # s=0 is masked by is_first
         top0 = Hcarry_ref[pl.ds(((c + 1) % 2) * n_strips + s_above, 1), :]
-        top0 = jnp.where((c == 0) | is_first, 0.0, top0)
+        if spec.penalize_first_col:
+            boundary0 = -(gof + (base_f - 1.0) * gef)
+        else:
+            boundary0 = jnp.float32(0.0)
+        top0 = jnp.where(c == 0, boundary0, top0)
+        neg_row = jnp.full((1, L), NEG, jnp.float32)
         carry0 = (
-            H_ref[pl.ds(s * S, S), :],
-            E_ref[pl.ds(s * S, S), :],
-            best_ref[pl.ds(s * S, S), :],
+            H_ref[pl.ds(base, S), :],
+            E_ref[pl.ds(base, S), :],
+            best_ref[pl.ds(base, S), :] if bestvec else neg_row,
+            neg_row,
+            neg_row,
             top0,
         )
-        H, E, best, _ = jax.lax.fori_loop(0, chunk // unroll, body, carry0)
-        H_ref[pl.ds(s * S, S), :] = H
-        E_ref[pl.ds(s * S, S), :] = E
-        best_ref[pl.ds(s * S, S), :] = best
+        H, E, best, bpart, cpart, _ = jax.lax.fori_loop(
+            0, chunk // unroll, body, carry0
+        )
+        H_ref[pl.ds(base, S), :] = H
+        E_ref[pl.ds(base, S), :] = E
+        if bestvec:
+            best_ref[pl.ds(base, S), :] = best
+        else:
+            if track_best:
+                trk_ref[0:1, :] = jnp.maximum(trk_ref[0:1, :], bpart)
+            if spec.track_terminal:
+                trk_ref[1:2, :] = jnp.where(
+                    cpart > NEGH, cpart, trk_ref[1:2, :]
+                )
+            if spec.track_last_col:
+                trk_ref[1:2, :] = jnp.maximum(trk_ref[1:2, :], cpart)
         Hcarry_ref[pl.ds((c % 2) * n_strips + s, 1), :] = H[S - 1 : S, :]
         return 0
 
@@ -489,8 +603,15 @@ def _ragged_kernel_strip(
 
     @pl.when(is_last)
     def _finalize():
-        best = jnp.max(best_ref[:], axis=0, keepdims=True)
-        scores_ref[0, 0, 0:1, :] = best.astype(jnp.int32)
+        if bestvec:
+            score = jnp.max(best_ref[:], axis=0, keepdims=True)
+        elif algorithm == "nw":
+            score = trk_ref[1:2, :]
+        elif algorithm == "ov":
+            score = jnp.maximum(trk_ref[0:1, :], trk_ref[1:2, :])
+        else:  # sw (tracked) / hw
+            score = trk_ref[0:1, :]
+        scores_ref[0, 0, 0:1, :] = score.astype(jnp.int32)
         qend_ref[0, 0, 0:1, :] = jnp.full((1, L), -1, jnp.int32)
         tend_ref[0, 0, 0:1, :] = jnp.full((1, L), -1, jnp.int32)
 
@@ -542,13 +663,15 @@ def search_flat(
     bestvec = algorithm == "sw" and not with_ends and safe_pad
     # strip-blocked variant: F-scan depth log2(STRIP) instead of
     # log2(Q_pad); live column-loop temporaries are (STRIP, LANES) so
-    # no unroll cap is needed at large tiers
-    strip_mode = bestvec and Q_pad >= STRIP_MIN_QPAD
+    # no unroll cap is needed at large tiers.  Score-only tracking
+    # commutes with strip order; end tracking does not (first-argmax
+    # tie-breaking is column-ordered) and stays on the full-scan kernel.
+    strip_mode = not with_ends and Q_pad >= STRIP_MIN_QPAD
     if Q_pad > RAGGED_MAX_QPAD and not strip_mode:
         raise ValueError(
-            f"query tier {Q_pad} needs the strip-blocked bestvec path "
-            "(sw score-only, safe_pad); use the segmented long-query "
-            "kernel for tracked modes (see engine.search_scores_batch)"
+            f"query tier {Q_pad} needs the strip-blocked score-only "
+            "path; use the segmented long-query kernel for end/full "
+            "modes (see engine.search_scores_batch)"
         )
     if strip_mode:
         unroll = min(unroll, 8)
@@ -560,11 +683,13 @@ def search_flat(
     if strip_mode:
         kernel = partial(
             _ragged_kernel_strip,
+            algorithm=algorithm,
             go=int(go),
             ge=int(ge),
             chunk=chunk,
             unroll=unroll,
             strip=STRIP,
+            bestvec=bestvec,
         )
     else:
         kernel = partial(
@@ -609,10 +734,13 @@ def search_flat(
             [
                 pltpu.VMEM((Q_pad, LANES), jnp.float32),
                 pltpu.VMEM((Q_pad, LANES), jnp.float32),
-                pltpu.VMEM((Q_pad, LANES), jnp.float32),
+                pltpu.VMEM(
+                    (Q_pad if bestvec else 8, LANES), jnp.float32
+                ),
                 pltpu.VMEM((chunk, LANES), jnp.float32),
                 pltpu.VMEM((chunk, LANES), jnp.float32),
                 pltpu.VMEM((2 * (Q_pad // STRIP), LANES), jnp.float32),
+                pltpu.VMEM((2, LANES), jnp.float32),
             ]
             if strip_mode
             else [

@@ -275,12 +275,14 @@ def test_ragged_flat_matches_naive():
 
 
 def test_ragged_flat_strip_matches_naive():
-    """Strip-blocked bestvec kernel (interpret) == oracle.
+    """Strip-blocked score-only kernel (interpret) == oracle, all algos.
 
-    sw score-only with safe_pad at a >=512 query tier routes to
-    `_ragged_kernel_strip` (strip height 256, boundary carries across
-    strips and chunks); cross-checked against the scalar oracle on
-    targets spanning multiple 64-column chunks.
+    Score-only at a >=512 query tier routes to `_ragged_kernel_strip`
+    (strip height 256, boundary carries across strips and chunks, the
+    nw row-0 boundary chain entering through the strip-0 Cin);
+    cross-checked against the scalar oracle on targets spanning
+    multiple 64-column chunks, including an empty lane.  sw runs both
+    the bestvec (safe_pad) and the tracked (colmax) variants.
     """
     import jax.numpy as jnp
     from pyopal_tpu.ops import pallas_ragged as pr
@@ -304,33 +306,72 @@ def test_ragged_flat_strip_matches_naive():
     qlens = jnp.asarray([len(q) for q in queries], jnp.int32)
     assert profs.shape[1] >= pr.STRIP_MIN_QPAD
 
-    for go, ge in [(3, 1), (1, 3)]:
-        s, _, _ = pr.search_flat(
-            profs, qlens, flat_t, lengths, bos, cos, los,
-            go, ge, "sw", False, interpret=True,
-            chunk=fp.chunk, safe_pad=True,
-        )
-        s = np.asarray(s).reshape(-1)
-        for pos in range(idx.shape[0]):
-            i = idx[pos]
-            if i < 0:
-                continue
-            ns, _, _ = naive.score_end(
-                queries[0], seqs[i], S, go, ge, "sw"
+    cases = [(a, True) for a in ALGOS] + [("sw", False)]
+    for algo, safe_pad in cases:
+        for go, ge in [(3, 1), (1, 3)]:
+            s, _, _ = pr.search_flat(
+                profs, qlens, flat_t, lengths, bos, cos, los,
+                go, ge, algo, False, interpret=True,
+                chunk=fp.chunk, safe_pad=safe_pad,
             )
-            assert ns == s[pos], (go, ge, i, ns, s[pos])
+            s = np.asarray(s).reshape(-1)
+            for pos in range(idx.shape[0]):
+                i = idx[pos]
+                if i < 0:
+                    continue
+                ns, _, _ = naive.score_end(
+                    queries[0], seqs[i], S, go, ge, algo
+                )
+                assert ns == s[pos], (algo, safe_pad, go, ge, i, ns, s[pos])
+
+
+def test_ragged_flat_pad_score_dominates_huge_scores():
+    """Padded rows must not leak into `best` even when scores > 30000.
+
+    A high-magnitude (but bf16-exact, <=256) custom matrix drives the
+    SW score of an identical pair to 60000; with the old
+    PAD_SCORE=-30000 the first padded profile row (diag = H +
+    PAD_SCORE) could go positive and corrupt the bestvec running max.
+    """
+    import jax.numpy as jnp
+    from pyopal_tpu.ops import pallas_ragged as pr
+
+    rng = np.random.default_rng(3)
+    A = 24
+    S_big = np.full((A, A), -17, dtype=np.int32)
+    np.fill_diagonal(S_big, 200)
+    q = rng.integers(0, A, 300).astype(np.uint8)
+    seqs = [q.copy(), rng.integers(0, A, 100).astype(np.uint8)]
+
+    fp = packing.pack_sequences_flat(seqs)
+    s, _, _ = pr.search_flat(
+        jnp.asarray(pr.make_profiles_host([q], S_big), jnp.bfloat16),
+        jnp.asarray([300], jnp.int32),
+        jnp.asarray(fp.flat_targets),
+        jnp.asarray(fp.lengths),
+        jnp.asarray(fp.block_of_step),
+        jnp.asarray(fp.chunk_of_step),
+        jnp.asarray(fp.last_of_step),
+        3, 1, "sw", False, interpret=True,
+        chunk=fp.chunk, safe_pad=True,
+    )
+    s = np.asarray(s).reshape(-1)
+    idx = fp.indices.reshape(-1)
+    for pos in np.nonzero(idx >= 0)[0]:
+        ns, _, _ = naive.score_end(q, seqs[idx[pos]], S_big, 3, 1, "sw")
+        assert ns == s[pos], (idx[pos], ns, s[pos])
+    assert max(s[pos] for pos in np.nonzero(idx >= 0)[0]) == 60000
 
 
 def test_ragged_supports_mode_aware():
-    """Tiers above 2048 are strip-only: sw score-only with safe_pad."""
+    """Tiers above 2048 are strip-only: score-only, any algorithm."""
     from pyopal_tpu.ops import pallas_ragged as pr
 
     assert pr.supports(2048, "nw", True, False)
     assert pr.supports(3000, "sw", False, True)
-    assert pr.supports(4096, "sw", False, True)
+    assert pr.supports(3000, "nw", False, False)
+    assert pr.supports(4096, "ov", False, False)
     assert not pr.supports(3000, "sw", True, True)   # ends tracked
-    assert not pr.supports(3000, "nw", False, True)  # not sw
-    assert not pr.supports(3000, "sw", False, False)  # unsafe padding
     assert not pr.supports(4097, "sw", False, True)  # beyond ceiling
     assert not pr.supports(0)
     # default (mode-less) callers keep the conservative ceiling
