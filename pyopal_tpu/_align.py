@@ -1,33 +1,59 @@
-"""Top-level ``align`` generator: multithreaded chunked database search.
+"""Top-level ``align`` generator: chunked multi-threaded database search.
 
-Parity with the reference orchestrator
-(``/root/reference/src/pyopal/_align.py:28-172``) with one TPU-first
-divergence: ``threads=0`` (the default) no longer means
-``os.cpu_count()`` — with an accelerator backend the fastest plan is a
-single fused dispatch over the whole packed database (device-level
-parallelism replaces host threads), so ``0`` means "let the framework
-choose".  Explicit ``threads >= 2`` keeps the reference behavior: the
-database is cut in chunks handed to a thread pool, with
-``ordered``/``pool`` semantics preserved; results are identical either
-way because chunking never changes scores and ``target_index`` is
-always global.
+API parity with the reference orchestrator signature and semantics
+(``/root/reference/src/pyopal/_align.py:28-41``), re-implemented around
+this package's packed-database layout:
+
+- ``threads=0`` (the default) is TPU-first: with an accelerator the
+  fastest plan is a *single fused dispatch* over the whole packed
+  database (device lanes replace host threads), so ``0`` means "let the
+  framework choose" rather than ``os.cpu_count()`` — a documented
+  divergence.
+- ``threads >= 2`` keeps the reference's thread-pool behavior, but the
+  chunk edges are quantized to the packed-lane width (`LANES`): each
+  worker's slice covers whole lane blocks, so no packed block is split
+  between two kernel launches.  Chunking is invisible in the results —
+  scores never depend on the slice and ``target_index`` is always the
+  global database index.
 """
 
 from __future__ import annotations
 
 import contextlib
-import functools
 import multiprocessing.pool
 
 from .aligner import Aligner
 from .database import BaseDatabase, Database
 from .matrices import ScoringMatrix
+from .ops.packing import LANES
 
 
-@contextlib.contextmanager
-def nullcontext(enter_result):
-    """Return a context manager that returns its input and does nothing."""
-    yield enter_result
+def _resolve_matrix(scoring_matrix) -> ScoringMatrix:
+    """Accept ``None`` (default matrix), a name, or a matrix object."""
+    if scoring_matrix is None:
+        return Aligner._DEFAULT_SCORING_MATRIX
+    if isinstance(scoring_matrix, str):
+        return ScoringMatrix.from_name(scoring_matrix)
+    if isinstance(scoring_matrix, ScoringMatrix):
+        return scoring_matrix
+    ty = type(scoring_matrix).__name__
+    raise TypeError(f"expected str or ScoringMatrix, got {ty}")
+
+
+def _chunk_bounds(n_targets: int, n_chunks: int, quantum: int = LANES):
+    """Yield ``(start, end)`` slices cutting ``n_targets`` into at most
+    ``n_chunks`` runs whose edges fall on ``quantum`` boundaries.
+
+    Lane-aligned edges keep each worker's slice covering whole packed
+    blocks, so per-chunk packing never re-pads a partially-owned block.
+    """
+    per = -(-n_targets // n_chunks)  # ceil
+    per = -(-per // quantum) * quantum  # round up to the lane width
+    start = 0
+    while start < n_targets:
+        end = min(start + per, n_targets)
+        yield start, end
+        start = end
 
 
 def align(
@@ -44,16 +70,16 @@ def align(
     pool=None,
     ordered: bool = False,
 ):
-    """Align the query sequence to every database sequence in parallel.
+    """Align a query against every database sequence, in parallel.
 
     Arguments:
-        query (`str` or byte-like object): The sequence to query the
-            database with.
-        database (iterable of `str` or byte-like objects): The database
-            sequences to align the query to.
+        query (`str` or byte-like object): The query sequence.
+        database (iterable of `str` or byte-like objects): The target
+            sequences; a `~pyopal_tpu.BaseDatabase` is used as-is, any
+            other iterable is encoded into a fresh `Database` first.
         scoring_matrix (`~pyopal_tpu.ScoringMatrix` or `str`): The
-            scoring matrix to use, as an object or a bundled-matrix
-            name (default: BLOSUM50).
+            scoring matrix, as an object or a bundled-matrix name
+            (default: BLOSUM50).
 
     Keyword Arguments:
         gap_open (`int`): The gap opening penalty.
@@ -63,17 +89,19 @@ def align(
             32-bit TPU engines cannot overflow).
         algorithm (`str`): ``nw``, ``hw``, ``ov`` or ``sw``.
         threads (`int`): ``0`` (default) runs one fused device search;
-            ``1`` uses the main thread; ``>= 2`` spawns a
-            `multiprocessing.pool.ThreadPool` over database chunks.
-        pool (`multiprocessing.pool.ThreadPool`): A running pool to
-            reuse across calls; only used when ``threads >= 2``.
-        ordered (`bool`): Whether the results should be yielded in
-            database order (``imap``) instead of completion order
-            (``imap_unordered``).
+            ``1`` searches on the calling thread; ``>= 2`` cuts the
+            database into lane-aligned chunks handed to a
+            `multiprocessing.pool.ThreadPool`.
+        pool (`multiprocessing.pool.ThreadPool`): An existing pool to
+            reuse across calls (only consulted when ``threads >= 2``);
+            the caller keeps ownership and must close it.
+        ordered (`bool`): Yield results in database order instead of
+            chunk-completion order.
 
     Yields:
         `~pyopal_tpu.ScoreResult`: One result per target sequence, of
-        the type matching ``mode``.
+        the type matching ``mode``; ``target_index`` is always the
+        global database index regardless of chunking.
 
     Example:
         >>> targets = ["AACCGCTG", "ATGCGCT", "TTATTACG"]
@@ -84,55 +112,35 @@ def align(
         23 TTATTACG
 
     """
-    # derive default parameters
-    if scoring_matrix is None:
-        scoring_matrix = Aligner._DEFAULT_SCORING_MATRIX
-    elif isinstance(scoring_matrix, str):
-        scoring_matrix = ScoringMatrix.from_name(scoring_matrix)
-    elif not isinstance(scoring_matrix, ScoringMatrix):
-        ty = type(scoring_matrix).__name__
-        raise TypeError(f"expected str or ScoringMatrix, got {ty}")
+    matrix = _resolve_matrix(scoring_matrix)
     if not isinstance(database, BaseDatabase):
-        database = Database(database, scoring_matrix.alphabet)
+        database = Database(database, matrix.alphabet)
+    aligner = Aligner(matrix, gap_open=gap_open, gap_extend=gap_extend)
 
-    # avoid using more threads than necessary
-    if threads > len(database):
-        threads = len(database) or 1
+    n = len(database)
+    threads = min(threads, n) or 1  # no more workers than targets
 
-    aligner = Aligner(scoring_matrix, gap_open=gap_open, gap_extend=gap_extend)
-    if threads in (0, 1):
-        # single fused dispatch: device-level parallelism inside
-        yield from aligner.align(
-            query,
-            database,
-            mode=mode,
-            overflow=overflow,
-            algorithm=algorithm,
-        )
+    search = lambda start, end: aligner.align(  # noqa: E731
+        query,
+        database,
+        mode=mode,
+        overflow=overflow,
+        algorithm=algorithm,
+        start=start,
+        end=end,
+    )
+
+    if threads == 1:
+        # single dispatch: device-level parallelism inside the engine
+        yield from search(0, n)
+        return
+
+    bounds = list(_chunk_bounds(n, threads))
+    if pool is None:
+        pool_cm = multiprocessing.pool.ThreadPool(min(threads, len(bounds)))
     else:
-        # reference-parity chunked thread pool
-        if pool is None:
-            pool_context = multiprocessing.pool.ThreadPool(threads)
-        else:
-            pool_context = nullcontext(pool)
-        chunk_length = len(database) // threads
-        with pool_context as pool:
-            _align = functools.partial(
-                aligner.align,
-                query,
-                database,
-                mode=mode,
-                overflow=overflow,
-                algorithm=algorithm,
-            )
-            starts = range(0, len(database), chunk_length)
-            if not ordered:
-                chunk_hits = pool.imap_unordered(
-                    lambda x: _align(start=x, end=x + chunk_length), starts
-                )
-            else:
-                chunk_hits = pool.imap(
-                    lambda x: _align(start=x, end=x + chunk_length), starts
-                )
-            for hits in chunk_hits:
-                yield from hits
+        pool_cm = contextlib.nullcontext(pool)
+    with pool_cm as active:
+        mapper = active.imap if ordered else active.imap_unordered
+        for hits in mapper(lambda se: search(*se), bounds):
+            yield from hits

@@ -37,7 +37,7 @@ def initialize_distributed(
     Call once per process, before any other JAX API.  No-op if the
     distributed runtime is already initialized.
     """
-    if jax._src.distributed.global_state.client is not None:
+    if jax.distributed.is_initialized():
         return
     kwargs = {}
     if coordinator_address is not None:

@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops import xla
 from .mesh import DB_AXIS
@@ -104,7 +104,7 @@ def sharded_search_group(
         mesh=mesh,
         in_specs=(P(DB_AXIS, None, None), P(DB_AXIS, None)),
         out_specs=(P(DB_AXIS, None), P(DB_AXIS, None), P(DB_AXIS, None)),
-        check_rep=False,
+        check_vma=False,
     )
     t_sharding = NamedSharding(mesh, P(DB_AXIS, None, None))
     l_sharding = NamedSharding(mesh, P(DB_AXIS, None))
@@ -136,7 +136,7 @@ def top_k_merge(mesh, scores, indices, k: int):
         mesh=mesh,
         in_specs=(P(DB_AXIS), P(DB_AXIS)),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
     s_shard = NamedSharding(mesh, P(DB_AXIS))
     scores = jax.device_put(jnp.asarray(scores), s_shard)

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..ops import packing
 from .mesh import DB_AXIS
@@ -170,7 +170,7 @@ def sharded_search_flat(
             P(DB_AXIS, None, None, None),
             P(DB_AXIS, None, None, None),
         ),
-        check_rep=False,
+        check_vma=False,
     )
 
     def put(x, spec):

@@ -125,14 +125,23 @@ class EndResult(ScoreResult):
 
     @property
     def query_end(self):
-        """`int`: The coordinate where the alignment ends in the query."""
-        assert self._query_end >= 0
+        """`int`: The coordinate where the alignment ends in the query.
+
+        For an *empty* alignment — a local (``sw``) search in which no
+        cell ever scores above zero — there is no end cell and the
+        coordinate is the sentinel ``-1`` (the same convention as the
+        dense arrays returned by `Aligner.align_arrays`; reference
+        analog: ``opalInitSearchResult`` leaves end locations at ``-1``,
+        ``/root/reference/src/pyopal/opal.pxd:36-38``).
+        """
         return self._query_end
 
     @property
     def target_end(self):
-        """`int`: The coordinate where the alignment ends in the target."""
-        assert self._target_end >= 0
+        """`int`: The coordinate where the alignment ends in the target.
+
+        ``-1`` for empty alignments; see `query_end`.
+        """
         return self._target_end
 
 

@@ -44,28 +44,54 @@ class TestAlignerInit:
 class _TestSearchOverflow:
     """Long-sequence stress envelope (reference lengths 1000..35000).
 
-    The reference exercises the int8->int16->int32 escalation here; the
+    The reference exercises the int8->int16->int32 escalation here
+    (``/root/reference/src/pyopal/tests/test_aligner.py:24-37``); the
     TPU engines are 32-bit throughout, so this validates long-sequence
-    numerical behavior and the long-query fallback path instead.
+    numerical behavior and the long-query fallback path instead.  The
+    quick variant samples the envelope; the ``slow``-marked variant is
+    the reference's dense sweep (every length, step 1000), crossing the
+    2048 -> 4096 strip-kernel tier and the segmented-kernel boundary.
     """
 
     algorithm = NotImplemented
 
-    def test_overflow(self):
+    @staticmethod
+    def _proteins(step):
         r = random.Random(0)
         alphabet = "ACDEFGHIKLMNPQRSTVWY"
-        proteins = [
+        return [
             "".join(r.choices(alphabet, k=k))
-            for k in range(1000, 36000, 8000)
+            for k in range(1000, 36000, step)
         ]
+
+    def _check(self, proteins, mode="score"):
         database = Database(proteins)
         aligner = Aligner()
         results = aligner.align(
-            proteins[0], database, mode="score", algorithm=self.algorithm
+            proteins[0], database, mode=mode, algorithm=self.algorithm
         )
         assert len(results) == len(proteins)
         for res in results:
             assert isinstance(res.score, int)
+
+    def test_overflow(self):
+        self._check(self._proteins(8000))
+
+    @pytest.mark.slow
+    def test_overflow_dense(self):
+        self._check(self._proteins(1000))
+
+    @pytest.mark.slow
+    def test_overflow_end_mode_tiers(self):
+        # end mode has no strip kernel: queries beyond the ragged tier
+        # take the segmented long-query path; cross both boundaries
+        r = random.Random(1)
+        alphabet = "ACDEFGHIKLMNPQRSTVWY"
+        proteins = [
+            "".join(r.choices(alphabet, k=k))
+            for k in (1500, 2047, 2048, 2500, 4096, 5000)
+        ]
+        self._check(proteins, mode="end")
 
 
 class TestSearchNW(_TestSearchOverflow):
@@ -148,6 +174,84 @@ class TestSearchSW(_TestSearchOverflow):
         assert results[0].target_end == 7
         assert results[0].coverage("query") == pytest.approx(1)
         assert results[0].coverage("target") == pytest.approx(7 / 8)
+
+
+class TestEmptyAlignment:
+    """Empty-alignment contract: a local (sw) search where no cell ever
+    scores above zero reports score 0 and ``-1`` end sentinels (the
+    convention of the reference's ``opalInitSearchResult``,
+    ``/root/reference/src/pyopal/opal.pxd:36-38``), through every API
+    surface.  Regression test for the round-1 sentinel assert crash.
+    """
+
+    # BLOSUM50: A vs D scores -2, so "A" vs all-D targets peaks at 0
+    QUERY = "A"
+    TARGETS = ["DDDDD", "AAAA"]
+
+    def test_align_end_mode(self):
+        hits = Aligner().align(
+            self.QUERY, Database(self.TARGETS), mode="end", algorithm="sw"
+        )
+        assert hits[0].score == 0
+        assert hits[0].query_end == -1
+        assert hits[0].target_end == -1
+        # the non-empty hit in the same batch keeps real coordinates
+        assert hits[1].score == 5
+        assert hits[1].query_end == 0
+        assert hits[1].target_end == 0
+
+    def test_align_full_mode(self):
+        hits = Aligner().align(
+            self.QUERY, Database(self.TARGETS), mode="full", algorithm="sw"
+        )
+        empty = hits[0]
+        assert empty.score == 0
+        assert empty.query_end == -1
+        assert empty.target_end == -1
+        assert empty.alignment == ""
+        assert empty.cigar() is None
+        assert empty.coverage("query") == 0.0
+        assert empty.coverage("target") == 0.0
+
+    def test_align_batch(self):
+        batches = Aligner().align_batch(
+            [self.QUERY], Database(self.TARGETS), mode="end", algorithm="sw"
+        )
+        assert batches[0][0].score == 0
+        assert batches[0][0].query_end == -1
+        assert batches[0][0].target_end == -1
+
+    def test_align_arrays(self):
+        arrays = Aligner().align_arrays(
+            [self.QUERY], Database(self.TARGETS), mode="end", algorithm="sw"
+        )
+        assert arrays["scores"][0, 0] == 0
+        assert arrays["query_ends"][0, 0] == -1
+        assert arrays["target_ends"][0, 0] == -1
+
+    def test_align_generator(self):
+        hits = list(
+            pyopal_tpu.align(
+                self.QUERY,
+                self.TARGETS,
+                mode="end",
+                algorithm="sw",
+                ordered=True,
+            )
+        )
+        assert hits[0].score == 0
+        assert hits[0].query_end == -1
+        assert hits[0].target_end == -1
+
+    def test_pickle_roundtrip(self):
+        import pickle
+
+        hit = Aligner().align(
+            self.QUERY, Database(self.TARGETS), mode="end", algorithm="sw"
+        )[0]
+        clone = pickle.loads(pickle.dumps(hit))
+        assert clone == hit
+        assert clone.query_end == -1
 
 
 class TestAlignErrors:
