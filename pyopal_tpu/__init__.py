@@ -43,6 +43,13 @@ __all__ = [
     "__version__",
 ]
 
+# Bootstrap the native extensions before the submodules that bind them
+# (source checkouts compile in place on first import; wheels ship them
+# prebuilt; pure-Python fallbacks cover failure).
+from . import native as _native
+
+_native.ensure_built()
+
 from ._align import align
 from .alphabet import Alphabet
 from .aligner import Aligner

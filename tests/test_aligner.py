@@ -14,13 +14,15 @@ from pyopal_tpu import Aligner, Database, ScoringMatrix
 
 
 class TestAlignerInit:
+    # same matrix as the reference's aligner-init tests
+    # (/root/reference/src/pyopal/tests/test_aligner.py:10-18)
     def test_init_scoring_matrix_str(self):
-        matrix = ScoringMatrix.from_name("BLOSUM62")
-        aligner = Aligner("BLOSUM62")
+        matrix = ScoringMatrix.from_name("VTML80")
+        aligner = Aligner("VTML80")
         assert aligner.scoring_matrix == matrix
 
     def test_init_scoring_matrix_object(self):
-        matrix = ScoringMatrix.from_name("BLOSUM62")
+        matrix = ScoringMatrix.from_name("VTML80")
         aligner = Aligner(matrix)
         assert aligner.scoring_matrix == matrix
 

@@ -42,6 +42,29 @@ def test_blosum50_golden_entries():
     assert get("W", "W") == 15
 
 
+def test_vtml80():
+    # the matrix the reference's own test suite builds its Aligner from
+    # (/root/reference/src/pyopal/tests/test_aligner.py:10-18)
+    m = ScoringMatrix.from_name("VTML80")
+    assert m.name == "VTML80"
+    assert m.alphabet == "ARNDCQEGHILKMFPSTWYVBZX*"
+    assert m.size() == 24
+    assert m.is_integer()
+    assert m.is_symmetric()
+    a = m.alphabet
+    get = lambda x, y: m.data[a.index(x), a.index(y)]
+    # VTML80 is a shorter evolutionary distance than BLOSUM50: the
+    # rarest residues keep the sharpest self-scores
+    assert get("W", "W") == 16
+    assert get("C", "C") == 13
+    assert get("W", "W") >= get("A", "A")
+    # searches with it run end-to-end
+    from pyopal_tpu import Aligner, Database
+
+    hits = Aligner("VTML80").align("ACCTCG", Database(["AACCGCTG"]))
+    assert hits[0].score > 0
+
+
 def test_from_match_mismatch():
     m = ScoringMatrix.from_match_mismatch(2, -3, "ACGT")
     assert m.alphabet == "ACGT"
