@@ -79,7 +79,8 @@ def main():
     dt = timed(lambda: aligner.align(query, db, mode="end", algorithm="sw"))
     lines.append(f"| `sw` end | {dt * 1e3:.1f} ms | {cells / dt / 1e9:.1f} |")
 
-    # 3. full mode on top-100 hits (search -> extract -> realign)
+    # 3a. full mode on top-100 hits (search -> extract -> realign,
+    # the reference's documented workflow)
     hits = aligner.align(query, db, mode="score", algorithm="sw")
     top = sorted(hits, key=lambda h: h.score, reverse=True)[:100]
     subdb = db.extract([h.target_index for h in top])
@@ -90,6 +91,16 @@ def main():
     full = aligner.align(query, subdb, mode="full", algorithm="sw")
     assert all(f.cigar() for f in full)
     lines.append(f"| `sw` full, top-100 realign | {dt * 1e3:.1f} ms | — |")
+
+    # 3b. first-class top-k path: one score+ends dispatch + batched
+    # traceback of the 100 winners (no sub-database, no second pass)
+    aligner.align_top_k(query, db, k=100, algorithm="sw")  # warm
+    dt = timed(lambda: aligner.align_top_k(query, db, k=100, algorithm="sw"))
+    topk = aligner.align_top_k(query, db, k=100, algorithm="sw")
+    assert [h.score for h in topk] == sorted(
+        (h.score for h in top), reverse=True
+    )
+    lines.append(f"| `sw` align_top_k(k=100), end-to-end | {dt * 1e3:.1f} ms | — |")
 
     # 4. pipelined multi-query throughput (columnar API)
     queries = [q[:256] for q in build_database(rng, n=16, mean_len=256)]

@@ -40,6 +40,13 @@ def main():
             f"cigar={full.cigar()[:40]}..."
         )
 
+    # --- or both phases in one call: fused score+ends dispatch, then
+    # batched traceback of only the winners (no sub-database)
+    top = aligner.align_top_k(query, db, k=10, algorithm="sw")
+    assert [h.score for h in top] == [h.score for h in best]
+    print("align_top_k best:", top[0].target_index, top[0].score)
+    return top
+
 
 if __name__ == "__main__":
     main()

@@ -209,6 +209,69 @@ class Aligner:
                 end,
             )
 
+    def align_top_k(
+        self,
+        query,
+        database,
+        *,
+        k: int = 100,
+        overflow: str = "buckets",
+        algorithm: str = "sw",
+        start: int = 0,
+        end: int = UINT32_MAX,
+    ):
+        """Full alignments for the ``k`` best-scoring targets.
+
+        TPU-native extension formalizing the reference's documented
+        search workflow (score pass -> extract top hits -> full-mode
+        realign, ``/root/reference/docs/examples/``) as one call: a
+        single fused score+ends dispatch over ``database[start:end)``,
+        host-side top-k selection (ties broken by database order), and
+        batched traceback of only the selected targets — no
+        sub-database extraction or second score pass.
+
+        Returns:
+            `list` of `~pyopal_tpu.FullResult`: At most ``k`` results
+            sorted by descending score, with global ``target_index``.
+        """
+        if query is None:
+            raise TypeError("query cannot be None")
+        if not isinstance(database, BaseDatabase):
+            ty = type(database).__name__
+            raise TypeError(f"expected BaseDatabase, found {ty}")
+        if overflow not in _OVERFLOW_MODES:
+            raise ValueError(f"invalid overflow mode: {overflow!r}")
+        if algorithm not in _ALGORITHMS:
+            raise ValueError(f"invalid algorithm: {algorithm!r}")
+        if k < 0:
+            raise ValueError(f"invalid k: {k!r}")
+        if database.alphabet != self.alphabet:
+            raise ValueError(
+                "database and score matrix have different alphabets"
+            )
+        encoded = np.frombuffer(
+            database.alphabet.encode(query), dtype=np.uint8
+        )
+        with database.lock.read:
+            size = database.get_size()
+            if end < start:
+                raise IndexError("database slice end is lower than start")
+            if end > size:
+                end = size
+            if start > end:
+                return []
+            return engine.search_top_k(
+                database,
+                encoded,
+                self._int_matrix,
+                self.gap_open,
+                self.gap_extend,
+                algorithm,
+                k,
+                start,
+                end,
+            )
+
     def align_batch(
         self,
         queries,

@@ -410,6 +410,95 @@ def _empty_query_results(database, start, end, go, ge, algorithm):
     return scores.astype(np.int32), np.full(n, -1, np.int32), t_ends
 
 
+def _full_results_for(
+    database, indices, query_enc, matrix, go, ge, algorithm, ends
+):
+    """`FullResult` objects for ``indices`` (global) given a score pass.
+
+    ``ends`` holds per-selected-target ``(scores, q_ends, t_ends)``
+    1-D arrays aligned with ``indices``.
+    """
+    from . import traceback as tb
+
+    Q = int(query_enc.shape[0])
+    targets = [database.get_encoded(int(i)) for i in indices]
+    outs = tb.full_alignments_batch(
+        query_enc, targets, matrix, go, ge, algorithm, ends
+    )
+    results = []
+    for k, (score, qs, ts, qe, te, ops) in enumerate(outs):
+        assert score == int(ends[0][k]), (
+            f"traceback score {score} != kernel score {int(ends[0][k])} "
+            f"for target {int(indices[k])}"
+        )
+        results.append(
+            FullResult(
+                int(indices[k]),
+                score,
+                qe,
+                te,
+                qs,
+                ts,
+                Q,
+                int(targets[k].shape[0]),
+                ops,
+            )
+        )
+    return results
+
+
+def search_top_k(
+    database,
+    query_enc: np.ndarray,
+    matrix: np.ndarray,
+    gap_open: int,
+    gap_extend: int,
+    algorithm: str,
+    k: int,
+    start: int,
+    end: int,
+):
+    """Two-phase top-k search: score+ends pass, then realign k hits.
+
+    The TPU-first shape of the reference's documented workflow (score
+    pass -> extract top hits -> full-mode realign, see the reference
+    example notebook ``/root/reference/docs/examples/``): one fused
+    kernel dispatch scores the whole slice, the top ``k`` targets by
+    score (ties broken by database order) are selected on the host, and
+    only those are realigned — no sub-database repacking, no second
+    score pass.  Returns `FullResult` objects sorted by descending
+    score; ``target_index`` stays global.  Must be called with the
+    database read lock held.
+    """
+    n = max(end - start, 0)
+    k = max(min(k, n), 0)
+    if k == 0:
+        return []
+    scores, q_ends, t_ends = search_scores(
+        database,
+        start,
+        end,
+        query_enc,
+        matrix,
+        gap_open,
+        gap_extend,
+        algorithm,
+        with_ends=True,
+    )
+    order = np.argsort(-scores, kind="stable")[:k]
+    sel = (scores[order], q_ends[order], t_ends[order])
+    return _full_results_for(
+        database,
+        order + start,
+        query_enc,
+        matrix,
+        gap_open,
+        gap_extend,
+        algorithm,
+        sel,
+    )
+
+
 def search(
     database,
     query_enc: np.ndarray,
@@ -447,36 +536,13 @@ def search(
     # mode == "full": batched two-phase reconstruction (reference
     # strategy: SIMD score pass then pairwise recompute [upstream]) —
     # the direction matrices are computed on-device in padded batches
-    from . import traceback as tb
-
-    Q = int(query_enc.shape[0])
-    targets = [database.get_encoded(start + i) for i in range(n)]
-    outs = tb.full_alignments_batch(
+    return _full_results_for(
+        database,
+        np.arange(start, end),
         query_enc,
-        targets,
         matrix,
         gap_open,
         gap_extend,
         algorithm,
         (scores, q_ends, t_ends),
     )
-    results = []
-    for i, (score, qs, ts, qe, te, ops) in enumerate(outs):
-        assert score == int(scores[i]), (
-            f"traceback score {score} != kernel score {int(scores[i])} "
-            f"for target {start + i}"
-        )
-        results.append(
-            FullResult(
-                start + i,
-                score,
-                qe,
-                te,
-                qs,
-                ts,
-                Q,
-                int(targets[i].shape[0]),
-                ops,
-            )
-        )
-    return results

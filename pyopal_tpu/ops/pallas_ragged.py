@@ -87,16 +87,18 @@ def supports(
 ) -> bool:
     """Whether `search_flat` can take a query of length ``Q``.
 
-    The generic (tracked) kernel tops out at `RAGGED_MAX_QPAD`; the
-    strip-blocked score-only variant extends to
-    `RAGGED_MAX_QPAD_STRIP` for all four algorithms.  Defaults are the
-    conservative (generic) answer.  ``algorithm`` and ``safe_pad`` are
-    kept for call-site symmetry with `search_flat`; only the mode
-    (score-only vs ends) moves the ceiling.
+    With ``safe_pad`` flat packing the unified strip kernel
+    (`_ragged_kernel_v2`) serves every algorithm and mode up to
+    `RAGGED_MAX_QPAD_STRIP` (its live column-loop temporaries are
+    ``(strip, LANES)`` and the per-row trackers are elementwise).
+    Without it, the generic full-scan kernel tops out at
+    `RAGGED_MAX_QPAD`.
     """
-    del algorithm, safe_pad
+    del algorithm
     if not 0 < Q:
         return False
+    if safe_pad:
+        return Q <= RAGGED_MAX_QPAD_STRIP
     if Q <= RAGGED_MAX_QPAD:
         return True
     return (not with_ends) and Q <= RAGGED_MAX_QPAD_STRIP
@@ -349,6 +351,338 @@ def _ragged_kernel(
             score = jnp.maximum(best, cap)
             qe = jnp.where(use_col, lc_i, qlast)
             te = jnp.where(use_col, tlast, bj)
+
+        scores_ref[0, 0, 0:1, :] = score.astype(jnp.int32)
+        qend_ref[0, 0, 0:1, :] = qe
+        tend_ref[0, 0, 0:1, :] = te
+
+
+def _ragged_kernel_v2(
+    # scalar prefetch
+    bos_ref,
+    cos_ref,
+    los_ref,
+    qlen_ref,
+    # inputs
+    prof_ref,  # (1, Q_pad, 32) bf16 (current query)
+    targets_ref,  # (chunk, LANES) int32
+    lengths_ref,  # (1, 1, LANES) int32
+    # outputs
+    scores_ref,
+    qend_ref,
+    tend_ref,
+    # scratch (composition depends on algorithm/mode; unpacked below)
+    *scratch,
+    algorithm: str,
+    go: int,
+    ge: int,
+    with_ends: bool,
+    chunk: int,
+    unroll: int,
+    strip: int,
+):
+    """Unified strip-blocked kernel: all four algorithms, both modes.
+
+    Two ideas over `_ragged_kernel` (see DEVNOTES.md for measurements):
+
+    1. **Strip-blocked exact F-scan** (from `v1`'s score-only strip
+       kernel): query rows go in strips of ``strip`` rows, cutting the
+       per-column max-scan from ``log2(Q_pad)`` to ``log2(strip)``
+       shift+max rounds; the cross-strip chain is carried through
+       per-column VMEM buffers (``bC``/``bH``) and a parity-double-
+       buffered cross-chunk carry (``Hcarry``).
+
+    2. **Elementwise tracking** — no per-column reductions at all.
+       Score/end tracking keeps per-*(row, lane)* running state updated
+       with 1-3 elementwise ops per column, and performs a single
+       log-depth reduction at block finalize:
+
+       - ``best``/``bestj`` (sw/hw/ov): per-row max of ``H`` over
+         columns and the column of its first attainment (strictly-
+         greater updates reproduce the oracle's sweep order: max score,
+         then min target column, then min query row);
+       - ``cap`` (nw/ov): the last *valid* column of ``H``, captured by
+         an elementwise select at ``j == length-1``.
+
+       This replaces the old kernel's per-column masked argmax/max
+       reductions (a second log-depth scan that made ``end`` mode ~4x
+       slower than ``score`` mode) and makes every mode strip-safe.
+
+    Requires ``safe_pad`` flat packing (pad symbol 31 scoring
+    ``PAD_SCORE`` in every profile row): padded columns then compute the
+    exact DP of the *padded* target, whose tracked results provably
+    equal the unpadded ones — any path through pad columns is dominated
+    by its straight-line valid counterpart (gap costs are nonnegative
+    and pad diagonals score ``PAD_SCORE``), so pad cells never win a
+    strictly-greater update, and ``cap`` only reads valid columns.
+    """
+    spec = ALGORITHMS[algorithm]
+    it = iter(scratch)
+    H_ref = next(it)
+    E_ref = next(it)
+    best_ref = next(it) if algorithm != "nw" else None
+    bestj_ref = next(it) if (with_ends and algorithm != "nw") else None
+    cap_ref = next(it) if algorithm in ("nw", "ov") else None
+    Q_pad, L = H_ref.shape
+    S = strip
+    n_strips = Q_pad // S
+    # single-strip tiers skip the boundary machinery entirely (static)
+    single = n_strips == 1
+    if not single:
+        bH_ref = next(it)  # (chunk, LANES) f32: strip's last-row H/col
+        bC_ref = next(it)  # (chunk, LANES) f32: incl. chain max, last row
+        Hcarry_ref = next(it)  # (2*n_strips, LANES) f32: x-chunk carry
+    qi = pl.program_id(0)
+    i = pl.program_id(1)
+    c = cos_ref[i]
+    is_last = los_ref[i] == 1
+    Q = qlen_ref[qi]
+    Qf = Q.astype(jnp.float32)
+
+    gof = np.float32(go)
+    gef = np.float32(ge)
+    gmin = np.float32(min(go, ge))
+
+    lengths = lengths_ref[0, 0:1, :]
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
+    alpha_iota = jax.lax.broadcasted_iota(jnp.int32, (ALPHA, L), 0)
+
+    # the empty-target score (read when a lane's length is 0): nw/hw
+    # consume the whole query as one first-column gap; sw/ov report 0
+    empty_score = -(gof + (Qf - 1.0) * gef)
+
+    @pl.when(c == 0)
+    def _init():
+        giota = jax.lax.broadcasted_iota(jnp.int32, (Q_pad, L), 0)
+        if spec.penalize_first_col:
+            H_ref[:] = -(gof + giota.astype(jnp.float32) * gef)
+        else:
+            H_ref[:] = jnp.zeros((Q_pad, L), jnp.float32)
+        E_ref[:] = jnp.full((Q_pad, L), NEG, jnp.float32)
+        if best_ref is not None:
+            # hw's initial candidate is the all-gap alignment at the
+            # column-0 boundary (oracle: H[Q][0]); sw/ov start at 0
+            best0 = empty_score if spec.penalize_first_col else 0.0
+            best_ref[:] = jnp.full((Q_pad, L), best0, jnp.float32)
+        if bestj_ref is not None:
+            bestj_ref[:] = jnp.full((Q_pad, L), -1, jnp.int32)
+        if cap_ref is not None:
+            cap0 = empty_score if algorithm == "nw" else NEG
+            cap_ref[:] = jnp.full((Q_pad, L), cap0, jnp.float32)
+        if not single:
+            Hcarry_ref[:] = jnp.zeros((2 * n_strips, L), jnp.float32)
+
+    track_best = best_ref is not None
+    track_j = bestj_ref is not None
+    track_cap = cap_ref is not None
+
+    def strip_body(s, _):
+        base = s * S
+        base_f = jnp.asarray(base).astype(jnp.float32)
+        ivec = row_iota.astype(jnp.float32) * gmin + base_f * gmin
+        ivec_f = ivec + (gof - gmin)
+        prof = prof_ref[0, pl.ds(base, S), :]
+        is_first = s == 0
+
+        def column(jj, carry):
+            H, E, best, bestj, cap, top_prev = carry
+            j = c * chunk + jj
+            if not single:
+                # read the strip-above boundary at THIS column before
+                # overwriting it below; consumed as next column's diag
+                bH_above = bH_ref[pl.ds(jj, 1), :]
+            if spec.clamp_zero:
+                # sw: the row-0 boundary F candidate is < 0 <= tmp
+                cin0 = NEG
+            else:
+                # virtual row -1 of the normalized scan domain: the
+                # (possibly penalized) row-0 boundary H at column j
+                jf = j.astype(jnp.float32)
+                if spec.penalize_first_row:
+                    row0_cur = -(gof + jf * gef)
+                else:
+                    row0_cur = jnp.float32(0.0)
+                cin0 = row0_cur - gmin
+            if single:
+                Cin = jnp.broadcast_to(
+                    jnp.asarray(cin0, jnp.float32), (1, L)
+                )
+            else:
+                Cin = jnp.where(is_first, cin0, bC_ref[pl.ds(jj, 1), :])
+            sym = targets_ref[pl.ds(jj, 1), :]
+            onehot = (alpha_iota == sym).astype(jnp.bfloat16)
+            prof_col = jax.lax.dot_general(
+                prof,
+                onehot,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            E_new = jnp.maximum(H - gof, E - gef)
+            shifted = _shift_down(H, 1, 0.0)
+            # row 0 of this strip: diag comes from the strip above
+            # (H at its last row, previous column)
+            if spec.penalize_first_row:
+                jf = j.astype(jnp.float32)
+                row0_prev = jnp.where(
+                    j == 0, 0.0, -(gof + (jf - 1.0) * gef)
+                )
+            else:
+                row0_prev = jnp.float32(0.0)
+            if single:
+                if spec.penalize_first_row:
+                    shifted = jnp.where(row_iota == 0, row0_prev, shifted)
+                # else: the 0.0 shift fill IS the free row-0 boundary
+            else:
+                top = jnp.where(is_first, row0_prev, top_prev)
+                shifted = jnp.where(row_iota == 0, top, shifted)
+            diag = shifted + prof_col
+            tmp = jnp.maximum(diag, E_new)
+            if spec.clamp_zero:
+                tmp = jnp.maximum(tmp, 0.0)
+            # chain entering this strip: C at strip above's last row,
+            # same column (vertical gap chain crossing the boundary)
+            C = _cummax(tmp + ivec)
+            if not (single and spec.clamp_zero):
+                # sw single-strip: Cin is NEG, the max is a no-op
+                C = jnp.maximum(C, Cin)
+            # exclusive shift with the incoming chain at row 0
+            F = jnp.concatenate([Cin, C[: S - 1]], axis=0) - ivec_f
+            H_new = jnp.maximum(tmp, F)
+
+            if track_best:
+                if track_j:
+                    upd = H_new > best
+                    best = jnp.where(upd, H_new, best)
+                    bestj = jnp.where(upd, j, bestj)
+                else:
+                    best = jnp.maximum(best, H_new)
+            if track_cap:
+                cap = jnp.where(j == (lengths - 1), H_new, cap)
+
+            if single:
+                return H_new, E_new, best, bestj, cap, top_prev
+            bH_ref[pl.ds(jj, 1), :] = H_new[S - 1 : S, :]
+            bC_ref[pl.ds(jj, 1), :] = C[S - 1 : S, :]
+            return H_new, E_new, best, bestj, cap, bH_above
+
+        def body(b, carry):
+            for u in range(unroll):
+                carry = column(b * unroll + u, carry)
+            return carry
+
+        neg_row = jnp.full((1, L), NEG, jnp.float32)
+        if single:
+            top0 = neg_row  # unused: every column fills row 0 inline
+        else:
+            # column 0's diag top: strip-above's last-row H at the
+            # previous chunk's final column (previous-parity buffer);
+            # at the block's first chunk, the column -1 boundary
+            s_above = jnp.maximum(s - 1, 0)  # s=0 masked by is_first
+            top0 = Hcarry_ref[
+                pl.ds(((c + 1) % 2) * n_strips + s_above, 1), :
+            ]
+            if spec.penalize_first_col:
+                boundary0 = -(gof + (base_f - 1.0) * gef)
+            else:
+                boundary0 = jnp.float32(0.0)
+            top0 = jnp.where(c == 0, boundary0, top0)
+        carry0 = (
+            H_ref[pl.ds(base, S), :],
+            E_ref[pl.ds(base, S), :],
+            best_ref[pl.ds(base, S), :] if track_best else neg_row,
+            bestj_ref[pl.ds(base, S), :]
+            if track_j
+            else jnp.full((1, L), -1, jnp.int32),
+            cap_ref[pl.ds(base, S), :] if track_cap else neg_row,
+            top0,
+        )
+        H, E, best, bestj, cap, _ = jax.lax.fori_loop(
+            0, chunk // unroll, body, carry0
+        )
+        H_ref[pl.ds(base, S), :] = H
+        E_ref[pl.ds(base, S), :] = E
+        if track_best:
+            best_ref[pl.ds(base, S), :] = best
+        if track_j:
+            bestj_ref[pl.ds(base, S), :] = bestj
+        if track_cap:
+            cap_ref[pl.ds(base, S), :] = cap
+        if not single:
+            Hcarry_ref[pl.ds((c % 2) * n_strips + s, 1), :] = (
+                H[S - 1 : S, :]
+            )
+        return 0
+
+    if single:
+        strip_body(0, 0)
+    else:
+        jax.lax.fori_loop(0, n_strips, strip_body, 0)
+
+    @pl.when(is_last)
+    def _finalize():
+        BIG = jnp.int32(2**30)
+        giota = jax.lax.broadcasted_iota(jnp.int32, (Q_pad, L), 0)
+        last_row = giota == (Q - 1)
+        qlast = jnp.full((1, L), 1, jnp.int32) * (Q - 1)
+        tlast = lengths - 1
+        neg1 = jnp.full((1, L), -1, jnp.int32)
+
+        def row_select_f(x):
+            """x[Q-1] as a (1, L) row (one masked reduction)."""
+            return jnp.max(
+                jnp.where(last_row, x, NEG), axis=0, keepdims=True
+            )
+
+        def row_select_i(x):
+            return jnp.max(
+                jnp.where(last_row, x, -BIG), axis=0, keepdims=True
+            )
+
+        if algorithm == "sw":
+            bestv = best_ref[:]
+            score = jnp.max(bestv, axis=0, keepdims=True)
+            if with_ends:
+                bj = bestj_ref[:]
+                cand_j = jnp.where(bestv == score, bj, BIG)
+                j_star = jnp.min(cand_j, axis=0, keepdims=True)
+                cand_i = jnp.where(cand_j == j_star, giota, BIG)
+                i_star = jnp.min(cand_i, axis=0, keepdims=True)
+                qe = jnp.where(score > 0, i_star, -1)
+                te = jnp.where(score > 0, j_star, -1)
+            else:
+                qe, te = neg1, neg1
+        elif algorithm == "nw":
+            score = row_select_f(cap_ref[:])
+            qe, te = (qlast, tlast) if with_ends else (neg1, neg1)
+        elif algorithm == "hw":
+            # a length-0 lane has only pad columns: boundary-originated
+            # gap paths through them have no valid-column counterpart,
+            # so `best` is garbage there — restore the empty-target
+            # score (the domination argument needs length >= 1)
+            len0 = lengths == 0
+            score = jnp.where(len0, empty_score, row_select_f(best_ref[:]))
+            if with_ends:
+                qe = qlast
+                te = jnp.where(len0, -1, row_select_i(bestj_ref[:]))
+            else:
+                qe, te = neg1, neg1
+        else:  # ov
+            len0 = lengths == 0
+            rowbest = jnp.where(len0, 0.0, row_select_f(best_ref[:]))
+            capv = cap_ref[:]
+            valid_rows = giota < Q
+            capm = jnp.where(valid_rows, capv, NEG)
+            capmax = jnp.max(capm, axis=0, keepdims=True)
+            score = jnp.maximum(rowbest, capmax)
+            if with_ends:
+                bj = jnp.where(len0, -1, row_select_i(bestj_ref[:]))
+                cand = jnp.where(capm == capmax, giota, BIG)
+                lc = jnp.min(cand, axis=0, keepdims=True)
+                use_col = capmax > rowbest  # ties -> last-row end (oracle)
+                qe = jnp.where(use_col, lc, qlast)
+                te = jnp.where(use_col, tlast, bj)
+            else:
+                qe, te = neg1, neg1
 
         scores_ref[0, 0, 0:1, :] = score.astype(jnp.int32)
         qend_ref[0, 0, 0:1, :] = qe
@@ -616,6 +950,48 @@ def _ragged_kernel_strip(
         tend_ref[0, 0, 0:1, :] = jnp.full((1, L), -1, jnp.int32)
 
 
+def _scratch_shapes(
+    Q_pad, chunk, algorithm, with_ends, bestvec, use_v2, strip_mode, strip
+):
+    """VMEM scratch list matching the selected kernel's signature."""
+    f32 = jnp.float32
+    if use_v2:
+        shapes = [
+            pltpu.VMEM((Q_pad, LANES), f32),  # H
+            pltpu.VMEM((Q_pad, LANES), f32),  # E
+        ]
+        if algorithm != "nw":
+            shapes.append(pltpu.VMEM((Q_pad, LANES), f32))  # best
+        if with_ends and algorithm != "nw":
+            shapes.append(pltpu.VMEM((Q_pad, LANES), jnp.int32))  # bestj
+        if algorithm in ("nw", "ov"):
+            shapes.append(pltpu.VMEM((Q_pad, LANES), f32))  # cap
+        if strip < Q_pad:  # multi-strip boundary machinery
+            shapes += [
+                pltpu.VMEM((chunk, LANES), f32),  # bH
+                pltpu.VMEM((chunk, LANES), f32),  # bC
+                pltpu.VMEM((2 * (Q_pad // strip), LANES), f32),  # Hcarry
+            ]
+        return shapes
+    if strip_mode:
+        return [
+            pltpu.VMEM((Q_pad, LANES), f32),
+            pltpu.VMEM((Q_pad, LANES), f32),
+            pltpu.VMEM((Q_pad if bestvec else 8, LANES), f32),
+            pltpu.VMEM((chunk, LANES), f32),
+            pltpu.VMEM((chunk, LANES), f32),
+            pltpu.VMEM((2 * (Q_pad // strip), LANES), f32),
+            pltpu.VMEM((2, LANES), f32),
+        ]
+    return [
+        pltpu.VMEM((Q_pad, LANES), f32),
+        pltpu.VMEM((Q_pad, LANES), f32),
+        pltpu.VMEM((8, LANES), f32),
+        pltpu.VMEM((8, LANES), jnp.int32),
+        pltpu.VMEM((Q_pad if bestvec else 8, LANES), f32),
+    ]
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -627,6 +1003,7 @@ def _ragged_kernel_strip(
         "chunk",
         "unroll",
         "safe_pad",
+        "strip",
     ),
 )
 def search_flat(
@@ -645,9 +1022,12 @@ def search_flat(
     chunk=CHUNK,
     unroll=UNROLL,
     safe_pad=False,
+    strip=None,
 ):
     """One kernel launch: all queries x the whole flat-packed database.
 
+    ``strip`` overrides the v2 kernel's strip height (default `STRIP`,
+    clamped to the query tier; must divide the tier).
     Returns ``(scores, q_ends, t_ends)`` of shape
     ``(n_q, n_blocks, LANES)`` int32.
     """
@@ -657,30 +1037,45 @@ def search_flat(
 
     while chunk % unroll:
         unroll //= 2
-    # bestvec: SW score-only running-max tracking; requires flat packing
-    # padded with PAD_SYMBOL and profile column PAD_SYMBOL == PAD_SCORE
-    # (alphabet <= 31 letters, signalled by the caller via safe_pad)
+    # v2 (safe_pad flat packing, i.e. every bundled matrix): the unified
+    # strip-blocked kernel with elementwise tracking — all algorithms,
+    # both modes, one code path.  Without safe_pad (a 32-letter custom
+    # matrix), fall back to the v1 kernels with per-column reductions
+    # and validity masks.
+    use_v2 = bool(safe_pad)
+    # bestvec (v1 path only): SW score-only running-max tracking
     bestvec = algorithm == "sw" and not with_ends and safe_pad
-    # strip-blocked variant: F-scan depth log2(STRIP) instead of
-    # log2(Q_pad); live column-loop temporaries are (STRIP, LANES) so
-    # no unroll cap is needed at large tiers.  Score-only tracking
-    # commutes with strip order; end tracking does not (first-argmax
-    # tie-breaking is column-ordered) and stays on the full-scan kernel.
-    strip_mode = not with_ends and Q_pad >= STRIP_MIN_QPAD
-    if Q_pad > RAGGED_MAX_QPAD and not strip_mode:
+    strip_mode = (
+        not use_v2 and not with_ends and Q_pad >= STRIP_MIN_QPAD
+    )
+    if Q_pad > RAGGED_MAX_QPAD and not (use_v2 or strip_mode):
         raise ValueError(
-            f"query tier {Q_pad} needs the strip-blocked score-only "
-            "path; use the segmented long-query kernel for end/full "
-            "modes (see engine.search_scores_batch)"
+            f"query tier {Q_pad} needs a strip-blocked path; use the "
+            "segmented long-query kernel for end/full modes with "
+            "32-letter matrices (see engine.search_scores_batch)"
         )
-    if strip_mode:
+    strip = min(strip or STRIP, Q_pad)
+    if use_v2:
+        unroll = min(unroll, 8)
+    elif strip_mode:
         unroll = min(unroll, 8)
     elif Q_pad > 1024:
         # scoped-VMEM pressure scales with unroll x live (Q_pad, LANES)
         # temporaries; shrink the unroll at the largest tier
         unroll = min(unroll, 2)
 
-    if strip_mode:
+    if use_v2:
+        kernel = partial(
+            _ragged_kernel_v2,
+            algorithm=algorithm,
+            go=int(go),
+            ge=int(ge),
+            with_ends=with_ends,
+            chunk=chunk,
+            unroll=unroll,
+            strip=strip,
+        )
+    elif strip_mode:
         kernel = partial(
             _ragged_kernel_strip,
             algorithm=algorithm,
@@ -688,7 +1083,7 @@ def search_flat(
             ge=int(ge),
             chunk=chunk,
             unroll=unroll,
-            strip=STRIP,
+            strip=strip,
             bestvec=bestvec,
         )
     else:
@@ -730,28 +1125,15 @@ def search_flat(
             ),
         ],
         out_specs=[out_spec, out_spec, out_spec],
-        scratch_shapes=(
-            [
-                pltpu.VMEM((Q_pad, LANES), jnp.float32),
-                pltpu.VMEM((Q_pad, LANES), jnp.float32),
-                pltpu.VMEM(
-                    (Q_pad if bestvec else 8, LANES), jnp.float32
-                ),
-                pltpu.VMEM((chunk, LANES), jnp.float32),
-                pltpu.VMEM((chunk, LANES), jnp.float32),
-                pltpu.VMEM((2 * (Q_pad // STRIP), LANES), jnp.float32),
-                pltpu.VMEM((2, LANES), jnp.float32),
-            ]
-            if strip_mode
-            else [
-                pltpu.VMEM((Q_pad, LANES), jnp.float32),
-                pltpu.VMEM((Q_pad, LANES), jnp.float32),
-                pltpu.VMEM((8, LANES), jnp.float32),
-                pltpu.VMEM((8, LANES), jnp.int32),
-                pltpu.VMEM(
-                    (Q_pad if bestvec else 8, LANES), jnp.float32
-                ),
-            ]
+        scratch_shapes=_scratch_shapes(
+            Q_pad,
+            chunk,
+            algorithm,
+            with_ends,
+            bestvec,
+            use_v2,
+            strip_mode,
+            strip,
         ),
     )
     flops_per_cell = 24

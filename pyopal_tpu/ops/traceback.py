@@ -45,6 +45,10 @@ F_OPEN = 8  # bit 3: F came from H (gap open)
 MAX_DEVICE_CELLS = 64 * 1024 * 1024
 
 
+def _round_up_128(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
 @partial(jax.jit, static_argnames=("algorithm",))
 def _dir_matrix_batch(prof_t, targets, go, ge, algorithm):
     """Packed direction matrices for a padded batch of pairs.
@@ -235,9 +239,13 @@ def full_alignments_batch(
         flushes.append(batch)
 
     for batch in flushes:
-        t_pad = max(max(len(targets[i]) for i in batch), 1)
-        tgt = np.zeros((len(batch), t_pad), dtype=np.int32)
-        tlen = np.zeros(len(batch), dtype=np.int32)
+        # quantize the padded shape (columns to the chunk quantum, batch
+        # to a power of two) so repeated top-k realigns reuse compiles
+        # instead of paying one per exact (B, T_pad)
+        t_pad = _round_up_128(max(max(len(targets[i]) for i in batch), 1))
+        B = 1 << (len(batch) - 1).bit_length()
+        tgt = np.zeros((B, t_pad), dtype=np.int32)
+        tlen = np.zeros(B, dtype=np.int32)
         for k, i in enumerate(batch):
             seq = targets[i]
             tgt[k, : len(seq)] = seq

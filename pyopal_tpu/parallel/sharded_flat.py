@@ -122,11 +122,14 @@ def sharded_search_flat(
     algorithm: str,
     with_ends: bool = True,
     interpret: bool = False,
+    safe_pad: bool = False,
 ):
     """One ``shard_map`` launch of the ragged kernel over the mesh.
 
-    Returns ``(scores, q_ends, t_ends)`` numpy arrays of shape
-    ``(n_q, n_targets)`` in global target order.
+    Pass ``safe_pad=True`` when the scoring matrix leaves profile
+    column 31 unused (every bundled matrix) to engage the unified v2
+    strip kernel on each shard.  Returns ``(scores, q_ends, t_ends)``
+    numpy arrays of shape ``(n_q, n_targets)`` in global target order.
     """
     from ..ops import pallas_ragged as pr
 
@@ -150,6 +153,7 @@ def sharded_search_flat(
             # the kernel's column-chunk size MUST match the packing
             # quantum: block row offsets are step_index * chunk
             chunk=sf.chunk,
+            safe_pad=safe_pad,
         )
         return s[None], qe[None], te[None]
 

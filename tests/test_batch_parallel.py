@@ -44,6 +44,40 @@ class TestAlignBatch:
             single = al.align(q, db, algorithm="nw")
             assert [r.score for r in batch[qi]] == [r.score for r in single]
 
+    def test_align_top_k_matches_full(self):
+        rng = np.random.default_rng(5)
+        seqs = _random_db(rng, 30)
+        db = Database(seqs)
+        al = Aligner()
+        query = "MKTAYIAKQR"
+        top = al.align_top_k(query, db, k=7)
+        assert len(top) == 7
+        # sorted by descending score, ties by database order
+        scores = [h.score for h in top]
+        assert scores == sorted(scores, reverse=True)
+        full = al.align(query, db, mode="full")
+        want = sorted(
+            range(len(full)), key=lambda i: (-full[i].score, i)
+        )[:7]
+        assert [h.target_index for h in top] == want
+        for h in top:
+            ref = full[h.target_index]
+            assert h == ref, (h, ref)
+
+    def test_align_top_k_edges(self):
+        db = Database(["MKT", "AAA"])
+        al = Aligner()
+        assert al.align_top_k("MKT", db, k=0) == []
+        assert al.align_top_k("MKT", Database([]), k=5) == []
+        assert len(al.align_top_k("MKT", db, k=100)) == 2
+        with pytest.raises(ValueError):
+            al.align_top_k("MKT", db, k=-1)
+        with pytest.raises(ValueError):
+            al.align_top_k("MKT", db, algorithm="nonsense")
+        # slice narrows the candidate pool but keeps global indices
+        hits = al.align_top_k("MKT", db, k=5, start=1)
+        assert [h.target_index for h in hits] == [1]
+
     def test_full_mode_rejected(self):
         db = Database(["MKT"])
         with pytest.raises(ValueError):

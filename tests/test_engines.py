@@ -325,6 +325,67 @@ def test_ragged_flat_strip_matches_naive():
                 assert ns == s[pos], (algo, safe_pad, go, ge, i, ns, s[pos])
 
 
+def test_ragged_v2_multistrip_ends_match_naive():
+    """Unified v2 kernel at a multi-strip tier == oracle, WITH ends.
+
+    A 300-aa query at the 512 tier with strip height 256 runs two
+    strips; targets spanning multiple 64-column chunks exercise the
+    double-buffered cross-chunk carry.  This pins the elementwise
+    end-tracking (best/bestj/cap) and its finalize tie-breaking (max
+    score, then min target column, then min query row) against the
+    scalar oracle for every algorithm — coverage the v1 kernels never
+    had at strip tiers (their end modes used per-column reductions).
+    """
+    import jax.numpy as jnp
+    from pyopal_tpu.ops import pallas_ragged as pr
+
+    rng = np.random.default_rng(91)
+    seqs = [
+        rng.integers(0, 24, int(L)).astype(np.uint8)
+        for L in (0, 5, 63, 64, 65, 130, 200, 40, 1, 97)
+    ]
+    # a couple of low-complexity targets to force score ties
+    seqs.append(np.full(80, 2, np.uint8))
+    seqs.append(np.tile(np.arange(4, dtype=np.uint8), 30))
+    fp = packing.pack_sequences_flat(seqs)
+    flat_t = jnp.asarray(fp.flat_targets)
+    lengths = jnp.asarray(fp.lengths)
+    bos = jnp.asarray(fp.block_of_step)
+    cos = jnp.asarray(fp.chunk_of_step)
+    los = jnp.asarray(fp.last_of_step)
+    idx = fp.indices.reshape(-1)
+
+    queries = [rng.integers(0, 24, 300).astype(np.uint8)]
+    # a low-complexity query stretch amplifies tie-break coverage
+    queries[0][100:140] = 2
+    profs = jnp.asarray(pr.make_profiles_host(queries, S), jnp.bfloat16)
+    qlens = jnp.asarray([len(q) for q in queries], jnp.int32)
+    assert profs.shape[1] > pr.STRIP  # multi-strip
+
+    for algo in ALGOS:
+        for go, ge in [(3, 1), (1, 3), (0, 0)]:
+            s, qe, te = pr.search_flat(
+                profs, qlens, flat_t, lengths, bos, cos, los,
+                go, ge, algo, True, interpret=True,
+                chunk=fp.chunk, safe_pad=True,
+            )
+            s = np.asarray(s).reshape(-1)
+            qe = np.asarray(qe).reshape(-1)
+            te = np.asarray(te).reshape(-1)
+            for pos in range(idx.shape[0]):
+                i = idx[pos]
+                if i < 0:
+                    continue
+                ns, nqe, nte = naive.score_end(
+                    queries[0], seqs[i], S, go, ge, algo
+                )
+                assert ns == s[pos], (algo, go, ge, i, ns, s[pos])
+                if len(seqs[i]):
+                    assert (nqe, nte) == (qe[pos], te[pos]), (
+                        algo, go, ge, i, (nqe, nte), (qe[pos], te[pos])
+                    )
+
+
 def test_ragged_flat_pad_score_dominates_huge_scores():
     """Padded rows must not leak into `best` even when scores > 30000.
 
@@ -364,15 +425,18 @@ def test_ragged_flat_pad_score_dominates_huge_scores():
 
 
 def test_ragged_supports_mode_aware():
-    """Tiers above 2048 are strip-only: score-only, any algorithm."""
+    """safe_pad (v2 kernel) reaches 4096 in every mode; without it,
+    tiers above 2048 are score-only (v1 strip kernel)."""
     from pyopal_tpu.ops import pallas_ragged as pr
 
     assert pr.supports(2048, "nw", True, False)
     assert pr.supports(3000, "sw", False, True)
+    assert pr.supports(3000, "sw", True, True)   # v2: ends at 4096 tier
+    assert pr.supports(4096, "ov", True, True)
     assert pr.supports(3000, "nw", False, False)
     assert pr.supports(4096, "ov", False, False)
-    assert not pr.supports(3000, "sw", True, True)   # ends tracked
+    assert not pr.supports(3000, "sw", True, False)  # v1: ends cap 2048
     assert not pr.supports(4097, "sw", False, True)  # beyond ceiling
     assert not pr.supports(0)
-    # default (mode-less) callers keep the conservative ceiling
+    # default (mode-less, non-safe) callers keep the conservative ceiling
     assert pr.supports(2048) and not pr.supports(2049)
