@@ -88,7 +88,8 @@ def score_end(query, target, matrix, go, ge, algorithm):
             col = H[1:, j]
             m = int(col.max()) if Q else 0
             if m > best:
-                best, bi, bj = m, int(col.argmax()) + 1, j
+                best, bj = m, j
+                bi = int(col.argmax()) + 1 if Q else 0
         if T == 0 or Q == 0 or best <= 0:
             # an empty local alignment has score 0 and no end location
             return max(best, 0), -1, -1

@@ -288,3 +288,64 @@ class TestAlignErrors:
         assert [r.target_index for r in results] == [1, 2]
         results = Aligner().align("AAAA", db, start=1, end=2)
         assert [r.target_index for r in results] == [1]
+
+
+class TestAlignEdges:
+    """Slice/empty-input edge semantics (SURVEY §7 "hard parts").
+
+    The reference clamps ``end`` to the database size and hands the
+    (possibly degenerate) slice to the kernel
+    (``/root/reference/src/pyopal/lib.pyx:1365-1370``); a ``start``
+    beyond the clamped end yields an empty hit list rather than an
+    error (only an *explicit* ``end < start`` raises ``IndexError``).
+    """
+
+    def test_start_beyond_clamped_end(self):
+        db = Database(["AAAA", "CCCC"])
+        # end=UINT32_MAX clamps to 2; start=5 > 2 -> empty, no error
+        assert Aligner().align("AAAA", db, start=5) == []
+        assert Aligner().align("AAAA", db, start=2) == []
+
+    def test_start_beyond_clamped_end_all_modes(self):
+        db = Database(["AAAA"])
+        aligner = Aligner()
+        for mode in ("score", "end", "full"):
+            assert aligner.align("AAAA", db, start=3, mode=mode) == []
+        assert aligner.align_top_k("AAAA", db, start=3) == []
+
+    @pytest.mark.parametrize("algorithm", ["nw", "hw", "ov", "sw"])
+    def test_empty_query_score_end(self, algorithm):
+        """An empty query aligns as one gap spanning each target.
+
+        nw charges the full-target gap (``-(go + (T-1) * ge)``); the
+        free-end algorithms score 0.  End coordinates follow the
+        empty-alignment sentinel contract (query_end = -1).
+        """
+        db = Database(["AACCGCTG", "A", ""])
+        aligner = Aligner()  # BLOSUM50, gap 3/1
+        for mode in ("score", "end"):
+            hits = aligner.align("", db, mode=mode, algorithm=algorithm)
+            assert [h.target_index for h in hits] == [0, 1, 2]
+            if algorithm == "nw":
+                assert [h.score for h in hits] == [-10, -3, 0]
+            else:
+                assert [h.score for h in hits] == [0, 0, 0]
+            if mode == "end":
+                assert all(h.query_end == -1 for h in hits)
+                if algorithm == "nw":
+                    assert [h.target_end for h in hits] == [7, 0, -1]
+
+    @pytest.mark.parametrize("algorithm", ["nw", "hw", "ov", "sw"])
+    def test_empty_query_full_mode(self, algorithm):
+        db = Database(["AACCGCTG", "A", ""])
+        hits = Aligner().align("", db, mode="full", algorithm=algorithm)
+        assert [h.target_index for h in hits] == [0, 1, 2]
+        if algorithm == "nw":
+            # the whole target is one insertion run
+            assert [h.score for h in hits] == [-10, -3, 0]
+            assert hits[0].alignment == "IIIIIIII"
+            assert hits[0].cigar() == "8D"  # I ops consume the target
+        else:
+            assert [h.score for h in hits] == [0, 0, 0]
+            assert all(h.alignment == "" for h in hits)
+        assert all(h.query_length == 0 for h in hits)
