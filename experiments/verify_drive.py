@@ -67,4 +67,18 @@ print("huge self-hit score:", res_big[0].score, "oracle:", ns)
 assert res_big[0].score == ns and ns > 12000
 ns2, _, _ = naive.score_end(enc(big), enc(db_big[1]), Sint, 3, 1, "sw")
 assert res_big[1].score == ns2
+
+# 5. batch >= 8: drives the query-packed q8 kernel (full groups) plus
+# the v2 remainder through Aligner.align_batch, all modes x algorithms
+queries9 = [rand_seq(n) for n in (40, 33, 45, 29, 51, 38, 36, 47, 31)]
+for algo in ("sw", "nw", "hw", "ov"):
+    batch = al.align_batch(queries9, db, mode="end", algorithm=algo)
+    for qi, q in enumerate(queries9):
+        for ti, t in enumerate(db_seqs):
+            ns, nqe, nte = naive.score_end(enc(q), enc(t), Sint, 3, 1, algo)
+            r = batch[qi][ti]
+            assert r.score == ns, (algo, qi, ti, r.score, ns)
+            if t:
+                assert (r.query_end, r.target_end) == (nqe, nte), (algo, qi, ti)
+print("batched q8 path (9 queries, 4 algorithms): scores+ends == oracle")
 print("ALL DRIVES PASSED")

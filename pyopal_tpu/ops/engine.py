@@ -96,6 +96,23 @@ def _assemble_flat(inv_pos, s, qe, te, with_ends):
     return jnp.stack([scores, one(qe), one(te)], axis=1)
 
 
+@partial(jax.jit, static_argnames=("with_ends",))
+def _assemble_flat_q8(inv_pos, s, qe, te, with_ends):
+    """Reorder q8-kernel outputs ``(n_g, n_blocks, QB, lanes)`` into
+    per-slot rows in global target order (row = g * QB + qb; padding
+    slots carry garbage and are skipped by the caller)."""
+    n_g, n_blocks, qb, lanes = s.shape
+
+    def one(x):
+        flat = x.transpose(0, 2, 1, 3).reshape(n_g * qb, -1)
+        return jnp.take(flat, inv_pos, axis=1)
+
+    scores = one(s)
+    if not with_ends:
+        return scores
+    return jnp.stack([scores, one(qe), one(te)], axis=1)
+
+
 # --- query profile upload memoization -----------------------------------------
 
 _PROFILE_CACHE: dict = {}
@@ -138,18 +155,68 @@ def _run_group_xla(prof_t, targets, lengths, go, ge, algorithm):
     return fn(targets, lengths)
 
 
+#: q8 lane width by query tier (bounded by the 16 MB scoped-VMEM limit
+#: on its three (Q_pad, 8, lanes) f32 scratch buffers); tiers beyond 512
+#: stay on the v2 ragged kernel, which wins there (see DEVNOTES.md).
+_Q8_LANES_BY_TIER = {64: 512, 128: 512, 256: 512, 512: 256}
+
+
+def _profiles_q8(queries_enc, matrix, groups, lanes):
+    """Device-resident q8 profile stack (+qv/maxq), memoized like
+    `_profiles_for_cohort`."""
+    from . import pallas_q8 as q8
+
+    key = (
+        "q8",
+        lanes,
+        b"".join(
+            queries_enc[i].tobytes() + b"\xff" for g in groups for i in g
+        ),
+        matrix.tobytes(),
+    )
+    hit = _PROFILE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    profs, qv, maxq = q8.make_profiles_q8_host(
+        queries_enc, matrix, groups, lanes=lanes
+    )
+    out = (
+        jnp.asarray(profs, dtype=jnp.bfloat16),
+        jnp.asarray(qv),
+        jnp.asarray(maxq),
+    )
+    if len(_PROFILE_CACHE) >= _PROFILE_CACHE_MAX:
+        _PROFILE_CACHE.pop(next(iter(_PROFILE_CACHE)))
+    _PROFILE_CACHE[key] = out
+    return out
+
+
 def _search_batch_pallas(
     database, start, end, queries_enc, matrix, go, ge, algorithm, with_ends
 ):
-    """Ragged-kernel path: one launch per query-tier cohort."""
+    """Pallas path: one launch per query-tier cohort.
+
+    Full groups of `pallas_q8.QB` same-tier queries take the
+    query-packed q8 kernel (scan-free, fastest); leftovers and tiers
+    beyond its VMEM ceiling take the v2 ragged kernel.  Results are
+    assembled into global target order on device; one readback total.
+    """
+    from . import pallas_q8 as q8
     from . import pallas_ragged as pr
     from ..utils import cache
 
     cache.enable()
-    fp = packing.pack_database_slice_flat(database, start, end)
-    n = fp.n_targets
     nq = len(queries_enc)
-    flat_t, lengths, bos, cos, los, inv_pos = _flat_device(fp)
+    n = max(end - start, 0)
+    safe_pad = matrix.shape[1] <= 31
+
+    fp128 = None
+
+    def _fp():
+        nonlocal fp128
+        if fp128 is None:
+            fp128 = packing.pack_database_slice_flat(database, start, end)
+        return fp128
 
     # cohorts of queries sharing a profile tier -> one launch each
     cohorts: dict = {}
@@ -157,32 +224,75 @@ def _search_batch_pallas(
         tier = pr.profile_qpad(max(len(q), 8))
         cohorts.setdefault(tier, []).append(i)
 
-    outs = []  # device arrays, one per cohort
-    cohort_order = []
+    outs = []  # device arrays, one per launch
+    cohort_order = []  # query index per output row (-1 = padding slot)
     for tier, qidx in sorted(cohorts.items()):
-        cohort = [queries_enc[i] for i in qidx]
-        profs, qlens = _profiles_for_cohort(cohort, matrix)
-        s, qe, te = pr.search_flat(
-            profs,
-            qlens,
-            flat_t,
-            lengths,
-            bos,
-            cos,
-            los,
-            int(go),
-            int(ge),
-            algorithm,
-            with_ends,
-            chunk=fp.chunk,
-            # pad symbol 31 scores PAD for every query row iff the
-            # alphabet leaves profile column 31 unused
-            safe_pad=matrix.shape[1] <= 31,
-        )
-        outs.append(
-            _assemble_flat(inv_pos, s, qe, te, with_ends=with_ends)
-        )
-        cohort_order.extend(qidx)
+        lanes_q8 = _Q8_LANES_BY_TIER.get(tier) if safe_pad else None
+        q8_idx, v2_idx = [], qidx
+        if lanes_q8 is not None and len(qidx) >= q8.QB:
+            order = sorted(qidx, key=lambda i: -queries_enc[i].shape[0])
+            m = (len(order) // q8.QB) * q8.QB
+            q8_idx, v2_idx = order[:m], order[m:]
+
+        if q8_idx:
+            groups = [
+                q8_idx[k : k + q8.QB]
+                for k in range(0, len(q8_idx), q8.QB)
+            ]
+            fpw = packing.pack_database_slice_flat(
+                database, start, end, lanes=lanes_q8
+            )
+            flat_t, lengths, bos, cos, los, inv_pos = _flat_device(fpw)
+            profs, qv, maxq = _profiles_q8(
+                queries_enc, matrix, groups, lanes_q8
+            )
+            s, qe, te = q8.search_flat_q8(
+                profs,
+                qv,
+                maxq,
+                flat_t,
+                lengths,
+                bos,
+                cos,
+                los,
+                int(go),
+                int(ge),
+                algorithm,
+                with_ends,
+                chunk=fpw.chunk,
+            )
+            outs.append(
+                _assemble_flat_q8(inv_pos, s, qe, te, with_ends=with_ends)
+            )
+            for g in groups:
+                cohort_order.extend(g)
+
+        if v2_idx:
+            cohort = [queries_enc[i] for i in v2_idx]
+            fp = _fp()
+            flat_t, lengths, bos, cos, los, inv_pos = _flat_device(fp)
+            profs, qlens = _profiles_for_cohort(cohort, matrix)
+            s, qe, te = pr.search_flat(
+                profs,
+                qlens,
+                flat_t,
+                lengths,
+                bos,
+                cos,
+                los,
+                int(go),
+                int(ge),
+                algorithm,
+                with_ends,
+                chunk=fp.chunk,
+                # pad symbol 31 scores PAD for every query row iff the
+                # alphabet leaves profile column 31 unused
+                safe_pad=safe_pad,
+            )
+            outs.append(
+                _assemble_flat(inv_pos, s, qe, te, with_ends=with_ends)
+            )
+            cohort_order.extend(v2_idx)
 
     stacked = np.asarray(jnp.concatenate(outs, axis=0))  # single readback
 
@@ -190,6 +300,8 @@ def _search_batch_pallas(
     q_ends = np.full((nq, n), -1, dtype=np.int32)
     t_ends = np.full((nq, n), -1, dtype=np.int32)
     for pos, qi in enumerate(cohort_order):
+        if qi < 0:
+            continue
         if with_ends:
             scores[qi] = stacked[pos, 0]
             q_ends[qi] = stacked[pos, 1]

@@ -222,14 +222,22 @@ def pack_sequences_flat(
     )
 
 
-def pack_database_slice_flat(database, start: int, end: int) -> FlatPacked:
-    """Flat-pack ``database[start:end]`` (caller holds the read lock)."""
+def pack_database_slice_flat(
+    database, start: int, end: int, lanes: int = LANES
+) -> FlatPacked:
+    """Flat-pack ``database[start:end]`` (caller holds the read lock).
+
+    ``lanes`` selects the block width: 128 for the row-vectorized
+    ragged kernels, wider (256/512) for the query-packed q8 kernel,
+    whose serial row loop needs more per-step lanes to hide the
+    dependence chain (see `pyopal_tpu.ops.pallas_q8`).
+    """
     cache = getattr(database, "_pack_cache", None)
-    key = ("flat", database.get_version(), start, end)
+    key = ("flat", lanes, database.get_version(), start, end)
     if cache is not None and key in cache:
         return cache[key]
     seqs = [database.get_encoded(i) for i in range(start, end)]
-    packed = pack_sequences_flat(seqs)
+    packed = pack_sequences_flat(seqs, lanes=lanes)
     if cache is not None:
         cache[key] = packed
     return packed

@@ -1,0 +1,445 @@
+"""Query-packed Pallas kernel: 8 queries per sublane, scan-free F.
+
+Third-generation TPU mapping of Opal's inter-sequence SIMD core
+(``opal.cpp`` [upstream]; ABI ``/root/reference/src/pyopal/opal.pxd:40-54``).
+The v1/v2 ragged kernels (`pallas_ragged`) put *query rows* in the
+sublane dimension, which vectorizes the whole column update but forces
+an exact log-depth Kogge-Stone max-scan per target column to resolve
+the vertical affine-gap chain ``F`` — measured at ~45% of kernel time
+(DEVNOTES.md).  This kernel removes the scan entirely:
+
+- **Vreg tile = (8 queries, 128 targets).**  The sublane dimension
+  carries 8 *independent queries* of one batch; lanes carry 128
+  database sequences (as before).  The query-row loop becomes a serial
+  ``fori_loop``, so ``F[i] = max(H[i-1] - go, F[i-1] - ge)`` is two
+  elementwise ops on a carried register — the TPU shape of SWIPE's
+  original sequential-row sweep (``README.md:26-28``), with the
+  sequential axis moved off the vector unit entirely.
+
+- **The MXU lookup stays in natural layout.**  Profiles of the 8
+  queries interleave by row — ``PP[8*i + qb] = profile_qb[i]`` — so the
+  per-column one-hot matmul ``(8*Q_pad, 32)bf16 @ (32, 128)bf16 -> f32``
+  produces a score array whose ``(Q_pad, 8, 128)`` view has, at
+  ``[i]``, *exactly* the (query, lane) tile for row ``i``: the reshape
+  is a free bitcast (identical linear layout and vreg tiling), so there
+  is no relayout and no gather.
+
+- **Tracking is elementwise and exact.**  Every tracked quantity
+  (sw best/ends, nw terminal, hw/ov last-row, ov last-column) updates
+  with 1-4 elementwise ops per row-step under exact masks
+  (``i == len(q)-1`` is a vector-vs-scalar compare; ``j == len(t)-1``
+  is per-lane).  Strictly-greater updates in (column, row) visit order
+  reproduce the oracle's max > min-column > min-row tie-breaking with
+  no finalize reduction at all.
+
+Cost per row-step: ~16 vector ops (score) / ~19 (ends) per 8*lanes
+cells vs ~28 per 1024 cells for the v2 strip kernel — the F-scan and
+all per-column reductions are gone.  The serial F/H chain makes the
+step LATENCY-bound at 128 lanes (measured slower than v2); at 512
+lanes (4 vregs of independent work per step) the chain hides and the
+kernel reaches 157-178 GCUPS vs v2's 114-137 on the bench workload,
+bit-exact across all algorithms and modes (DEVNOTES.md).  VMEM bounds
+lanes by tier (see `engine._Q8_LANES_BY_TIER`).  Trade-offs: the
+kernel needs >= 8 queries in flight to fill sublanes, so it serves the
+batched APIs (`Aligner.align_batch`, `align_arrays`); single-query
+latency and tiers beyond 512 stay on the v2 kernel.
+
+Padding correctness relies on the same ``safe_pad`` decay argument as
+v2 (see `pallas_ragged._ragged_kernel_v2`): pad *columns* (symbol 31)
+and pad *rows* (profile rows past a query's true length) score
+``PAD_SCORE``, so any path through them is strictly dominated by a
+valid counterpart visited no later, and strictly-greater updates never
+pick them.  Zero-length lanes fall out exactly: their trackers keep
+their (empty-target) initial values because the ``j == len-1`` /
+``i == len(q)-1`` masks never fire.
+
+Grid/layout contract is shared with `pallas_ragged.search_flat`: the
+flat-packed database (`packing.pack_sequences_flat`) with
+scalar-prefetched ``block_of_step``/``chunk_of_step``/``last_of_step``
+maps; one compiled shape per (query tier, n_groups, algorithm, mode).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models import ALGORITHMS
+from .pallas_kernel import ALPHA, NEG, PAD_SCORE
+from .pallas_ragged import CHUNK, LANES, profile_qpad
+
+QB = 8  # queries per group (the sublane width)
+UNROLL = 8  # query-row loop unroll
+
+#: VMEM ceiling: H/E/S scratch are (Q_pad, QB, LANES) f32 = 3 x 4 MB at
+#: the 1024 tier (+profile +targets ~= 13 MB < 16 MB scoped limit).
+#: Larger tiers ride the v2 strip kernel.
+MAX_QPAD = 1024
+
+
+def supports(Q: int) -> bool:
+    """Whether the q8 kernel can take queries of length ``Q``."""
+    return 0 < Q <= MAX_QPAD
+
+
+def plan_groups(qlens) -> list:
+    """Order query indices into groups of `QB` by descending length.
+
+    The row loop runs to each group's max true length, so grouping
+    similar lengths minimizes wasted row-steps.  Returns a list of
+    index-lists; the last group may be short (padded with empty slots).
+    """
+    order = sorted(range(len(qlens)), key=lambda i: -int(qlens[i]))
+    return [order[k : k + QB] for k in range(0, len(order), QB)]
+
+
+def make_profiles_q8_host(queries_enc, matrix, groups, lanes=LANES) -> tuple:
+    """Interleaved profile stack + per-slot lengths for `search_flat_q8`.
+
+    Returns ``(profs, qv, maxq)``:
+
+    - ``profs``: ``(n_groups, QB * Q_pad, 32)`` f32, row ``8*i + qb`` =
+      profile row ``i`` of the group's ``qb``-th query; empty slots and
+      rows past a query's true length hold ``PAD_SCORE``.
+    - ``qv``: ``(n_groups, QB, LANES)`` int32 true lengths (0 = empty
+      slot), broadcast along lanes.
+    - ``maxq``: ``(n_groups,)`` int32 row-loop bounds.
+    """
+    qmax = max((len(queries_enc[i]) for g in groups for i in g), default=8)
+    Q_pad = profile_qpad(max(qmax, 8))
+    S = np.asarray(matrix, dtype=np.float32)
+    n_g = len(groups)
+    profs = np.full((n_g, QB * Q_pad, ALPHA), PAD_SCORE, dtype=np.float32)
+    qv = np.zeros((n_g, QB, lanes), dtype=np.int32)
+    maxq = np.zeros((n_g,), dtype=np.int32)
+    for g, idxs in enumerate(groups):
+        for qb, qi in enumerate(idxs):
+            q = np.asarray(queries_enc[qi], dtype=np.int64)
+            Q = q.shape[0]
+            profs[g, qb : QB * Q : QB, : S.shape[1]] = S[q, :]
+            qv[g, qb, :] = Q
+            maxq[g] = max(maxq[g], Q)
+    return profs, qv, maxq
+
+
+def _q8_kernel(
+    # scalar prefetch
+    bos_ref,  # (n_steps,) block index of step
+    cos_ref,  # (n_steps,) chunk index within block
+    los_ref,  # (n_steps,) 1 if last chunk of block
+    maxq_ref,  # (n_groups,) row-loop bound per group
+    # inputs
+    prof_ref,  # (1, QB*Q_pad, 32) bf16 (current group, interleaved)
+    qv_ref,  # (1, QB, LANES) int32 true query lengths
+    targets_ref,  # (chunk, LANES) int32
+    lengths_ref,  # (1, 1, LANES) int32
+    # outputs
+    scores_ref,  # (1, 1, QB, LANES) int32
+    qend_ref,
+    tend_ref,
+    # scratch
+    H_ref,  # (Q_pad, QB, LANES) f32: H of the previous column
+    E_ref,  # (Q_pad, QB, LANES) f32
+    S_ref,  # (Q_pad, QB, LANES) f32: current column's scores
+    best_ref,  # (1, QB, LANES) f32
+    cap_ref,  # (1, QB, LANES) f32
+    bi_ref,  # (1, QB, LANES) int32
+    bj_ref,  # (1, QB, LANES) int32
+    ci_ref,  # (1, QB, LANES) int32
+    *,
+    algorithm: str,
+    go: int,
+    ge: int,
+    with_ends: bool,
+    chunk: int,
+    unroll: int,
+):
+    spec = ALGORITHMS[algorithm]
+    Q_pad, _, L = H_ref.shape
+    gi = pl.program_id(0)
+    i_step = pl.program_id(1)
+    c = cos_ref[i_step]
+    is_last = los_ref[i_step] == 1
+    maxq = maxq_ref[gi]
+
+    gof = np.float32(go)
+    gef = np.float32(ge)
+
+    prof = prof_ref[0]  # (QB*Q_pad, 32) bf16
+    qv = qv_ref[:]  # (1, QB, LANES) int32
+    qvf = qv.astype(jnp.float32)
+    lengths = lengths_ref[:]  # (1, 1, LANES): broadcasts over QB
+    alpha_iota = jax.lax.broadcasted_iota(jnp.int32, (ALPHA, L), 0)
+
+    # empty-target score per query slot: nw/hw consume the whole query
+    # as one first-column gap; sw/ov report 0 (reference semantics,
+    # `/root/reference/src/pyopal/lib.pyx:1290-1295`)
+    empty_score = -(gof + (qvf - 1.0) * gef)
+
+    @pl.when(c == 0)
+    def _init():
+        qrow = jax.lax.broadcasted_iota(jnp.int32, (Q_pad, QB, L), 0)
+        if spec.penalize_first_col:
+            H_ref[:] = -(gof + qrow.astype(jnp.float32) * gef)
+        else:
+            H_ref[:] = jnp.zeros((Q_pad, QB, L), jnp.float32)
+        E_ref[:] = jnp.full((Q_pad, QB, L), NEG, jnp.float32)
+        if spec.penalize_first_col:  # hw (nw's best_ref is unused)
+            best_ref[:] = empty_score
+        else:
+            best_ref[:] = jnp.zeros((1, QB, L), jnp.float32)
+        if algorithm == "nw":
+            cap_ref[:] = empty_score
+        else:
+            cap_ref[:] = jnp.full((1, QB, L), NEG, jnp.float32)
+        neg1 = jnp.full((1, QB, L), -1, jnp.int32)
+        bi_ref[:] = neg1
+        bj_ref[:] = neg1
+        ci_ref[:] = neg1
+
+    qlast_rows = qv - 1  # (1, QB, LANES): row index of each query's end
+
+    def column(jj, jcarry):
+        best, bi, bj, cap, ci = jcarry
+        j = c * chunk + jj
+        sym = targets_ref[pl.ds(jj, 1), :]  # (1, LANES)
+        onehot = (alpha_iota == sym).astype(jnp.bfloat16)
+        S_ref[:] = jax.lax.dot_general(
+            prof,
+            onehot,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(Q_pad, QB, L)
+        at_end = j == (lengths - 1)  # (1, 1, LANES)
+
+        jf = j.astype(jnp.float32)
+        ones = jnp.ones((1, QB, L), jnp.float32)
+        if spec.penalize_first_row:  # nw: penalized row -1 boundary
+            hup0 = ones * (-(gof + jf * gef))
+            hdiag0 = ones * jnp.where(
+                j == 0, 0.0, -(gof + (jf - 1.0) * gef)
+            )
+        else:
+            hup0 = ones * 0.0
+            hdiag0 = ones * 0.0
+        f0 = jnp.full((1, QB, L), NEG, jnp.float32)
+
+        def irow(i, icarry):
+            hdiag, hup, f, best, bi, bj, cap, ci = icarry
+            s = S_ref[pl.ds(i, 1)]
+            h_left = H_ref[pl.ds(i, 1)]
+            e_old = E_ref[pl.ds(i, 1)]
+            e_new = jnp.maximum(h_left - gof, e_old - gef)
+            diag = hdiag + s
+            tmp = jnp.maximum(diag, e_new)
+            if spec.clamp_zero:
+                tmp = jnp.maximum(tmp, 0.0)
+            f = jnp.maximum(hup - gof, f - gef)
+            h_new = jnp.maximum(tmp, f)
+            H_ref[pl.ds(i, 1)] = h_new
+            E_ref[pl.ds(i, 1)] = e_new
+
+            if spec.track_all_cells:  # sw
+                upd = h_new > best
+                best = jnp.where(upd, h_new, best)
+                if with_ends:
+                    bi = jnp.where(upd, i, bi)
+                    bj = jnp.where(upd, j, bj)
+            if spec.track_last_row:  # hw / ov
+                upd = (qlast_rows == i) & (h_new > best)
+                best = jnp.where(upd, h_new, best)
+                if with_ends:
+                    bj = jnp.where(upd, j, bj)
+            if spec.track_terminal:  # nw
+                cap = jnp.where((qlast_rows == i) & at_end, h_new, cap)
+            if spec.track_last_col:  # ov
+                updc = at_end & (h_new > cap)
+                cap = jnp.where(updc, h_new, cap)
+                if with_ends:
+                    ci = jnp.where(updc, i, ci)
+            return h_left, h_new, f, best, bi, bj, cap, ci
+
+        def rowblock(b, icarry):
+            for u in range(unroll):
+                icarry = irow(b * unroll + u, icarry)
+            return icarry
+
+        n_rowblocks = (maxq + (unroll - 1)) // unroll
+        icarry = jax.lax.fori_loop(
+            0,
+            n_rowblocks,
+            rowblock,
+            (hdiag0, hup0, f0, best, bi, bj, cap, ci),
+        )
+        _, _, _, best, bi, bj, cap, ci = icarry
+        return best, bi, bj, cap, ci
+
+    jcarry0 = (best_ref[:], bi_ref[:], bj_ref[:], cap_ref[:], ci_ref[:])
+    best, bi, bj, cap, ci = jax.lax.fori_loop(0, chunk, column, jcarry0)
+    best_ref[:] = best
+    bi_ref[:] = bi
+    bj_ref[:] = bj
+    cap_ref[:] = cap
+    ci_ref[:] = ci
+
+    @pl.when(is_last)
+    def _finalize():
+        neg1 = jnp.full((1, QB, L), -1, jnp.int32)
+        qlast = qlast_rows
+        tlast = jnp.broadcast_to(lengths - 1, (1, QB, L))
+
+        if algorithm == "sw":
+            score = best
+            qe, te = (bi, bj) if with_ends else (neg1, neg1)
+        elif algorithm == "nw":
+            score = cap
+            qe, te = (qlast, tlast) if with_ends else (neg1, neg1)
+        elif algorithm == "hw":
+            # a length-0 lane has only pad columns: boundary-originated
+            # gap chains through them can beat the empty-target score
+            # when ge > go (no valid-column counterpart exists), so
+            # restore it here (same patch as the v2 kernel)
+            len0 = lengths == 0
+            score = jnp.where(len0, empty_score, best)
+            if with_ends:
+                qe = qlast
+                te = jnp.where(len0, -1, bj)
+            else:
+                qe, te = neg1, neg1
+        else:  # ov
+            score = jnp.maximum(best, cap)
+            if with_ends:
+                use_col = cap > best  # ties -> last-row end (oracle)
+                qe = jnp.where(use_col, ci, qlast)
+                te = jnp.where(use_col, tlast, bj)
+            else:
+                qe, te = neg1, neg1
+
+        scores_ref[0, 0, :, :] = score[0].astype(jnp.int32)
+        qend_ref[0, 0, :, :] = qe[0]
+        tend_ref[0, 0, :, :] = te[0]
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "go",
+        "ge",
+        "algorithm",
+        "with_ends",
+        "interpret",
+        "chunk",
+        "unroll",
+    ),
+)
+def search_flat_q8(
+    profs,  # (n_groups, QB*Q_pad, 32) bf16, row-interleaved
+    qv,  # (n_groups, QB, LANES) int32
+    maxq,  # (n_groups,) int32
+    flat_targets,  # (total_rows, LANES) int32
+    lengths,  # (n_blocks, 1, LANES) int32
+    bos,
+    cos,
+    los,
+    go,
+    ge,
+    algorithm,
+    with_ends,
+    interpret=False,
+    chunk=CHUNK,
+    unroll=UNROLL,
+):
+    """One launch: all query groups x the whole flat-packed database.
+
+    Requires ``safe_pad`` packing (alphabet <= 31 letters).  Returns
+    ``(scores, q_ends, t_ends)`` of shape
+    ``(n_groups, n_blocks, QB, LANES)`` int32.
+    """
+    n_g, rows8, _ = profs.shape
+    Q_pad = rows8 // QB
+    n_steps = bos.shape[0]
+    n_blocks = lengths.shape[0]
+    lanes = flat_targets.shape[1]
+    while Q_pad % unroll:
+        unroll //= 2
+
+    kernel = partial(
+        _q8_kernel,
+        algorithm=algorithm,
+        go=int(go),
+        ge=int(ge),
+        with_ends=with_ends,
+        chunk=chunk,
+        unroll=unroll,
+    )
+    out_shape = [
+        jax.ShapeDtypeStruct((n_g, n_blocks, QB, lanes), jnp.int32)
+        for _ in range(3)
+    ]
+    out_spec = pl.BlockSpec(
+        (1, 1, QB, lanes),
+        lambda g, i, bos, cos, los, maxq: (g, bos[i], 0, 0),
+    )
+    f32 = jnp.float32
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n_g, n_steps),
+        in_specs=[
+            pl.BlockSpec(
+                (1, QB * Q_pad, ALPHA),
+                lambda g, i, bos, cos, los, maxq: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, QB, lanes),
+                lambda g, i, bos, cos, los, maxq: (g, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (chunk, lanes),
+                lambda g, i, bos, cos, los, maxq: (i, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, lanes),
+                lambda g, i, bos, cos, los, maxq: (bos[i], 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=[out_spec, out_spec, out_spec],
+        scratch_shapes=[
+            pltpu.VMEM((Q_pad, QB, lanes), f32),  # H
+            pltpu.VMEM((Q_pad, QB, lanes), f32),  # E
+            pltpu.VMEM((Q_pad, QB, lanes), f32),  # S
+            pltpu.VMEM((1, QB, lanes), f32),  # best
+            pltpu.VMEM((1, QB, lanes), f32),  # cap
+            pltpu.VMEM((1, QB, lanes), jnp.int32),  # bi
+            pltpu.VMEM((1, QB, lanes), jnp.int32),  # bj
+            pltpu.VMEM((1, QB, lanes), jnp.int32),  # ci
+        ],
+    )
+    flops_per_cell = 16
+    cost = pl.CostEstimate(
+        flops=(flops_per_cell + 2 * ALPHA)
+        * n_g
+        * n_steps
+        * chunk
+        * QB
+        * lanes
+        * Q_pad,
+        bytes_accessed=n_g * flat_targets.size * 4,
+        transcendentals=0,
+    )
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=out_shape,
+        cost_estimate=cost,
+        interpret=interpret,
+    )(bos, cos, los, maxq, profs, qv, flat_targets, lengths)
+    return outs

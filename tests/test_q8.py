@@ -1,0 +1,103 @@
+"""q8 kernel cross-validation (interpret mode) vs the naive oracle.
+
+The query-packed kernel (`pyopal_tpu.ops.pallas_q8`) is the TPU batch
+fast path; on hardware it is validated bit-exact against the v2 ragged
+kernel and the oracle (experiments/bench_q8.py).  Here the interpreted
+kernel runs the same contract on CPU: all four algorithms, adversarial
+gap parameters, mixed query lengths within a group (including a
+partial final group), empty targets, and chunk-boundary lengths.
+"""
+
+import numpy as np
+import pytest
+
+from pyopal_tpu.matrices import ScoringMatrix
+from pyopal_tpu.ops import naive
+
+S = ScoringMatrix.from_name("BLOSUM50").int_data()
+
+
+def _run_q8(queries, seqs, go, ge, algo, with_ends):
+    import jax.numpy as jnp
+
+    from pyopal_tpu.ops import packing
+    from pyopal_tpu.ops import pallas_q8 as q8
+
+    fp = packing.pack_sequences_flat(
+        [np.asarray(s, np.uint8) for s in seqs], chunk=64
+    )
+    groups = q8.plan_groups([len(q) for q in queries])
+    profs, qv, maxq = q8.make_profiles_q8_host(queries, S, groups)
+    s, qe, te = q8.search_flat_q8(
+        jnp.asarray(profs, jnp.bfloat16),
+        jnp.asarray(qv),
+        jnp.asarray(maxq),
+        jnp.asarray(fp.flat_targets),
+        jnp.asarray(fp.lengths),
+        jnp.asarray(fp.block_of_step),
+        jnp.asarray(fp.chunk_of_step),
+        jnp.asarray(fp.last_of_step),
+        go,
+        ge,
+        algo,
+        with_ends,
+        interpret=True,
+        chunk=fp.chunk,
+    )
+    s, qe, te = np.asarray(s), np.asarray(qe), np.asarray(te)
+    out = {}
+    for g, idxs in enumerate(groups):
+        for qb, qi in enumerate(idxs):
+            out[qi] = (
+                s[g, :, qb, :].reshape(-1)[fp.inv_pos],
+                qe[g, :, qb, :].reshape(-1)[fp.inv_pos],
+                te[g, :, qb, :].reshape(-1)[fp.inv_pos],
+            )
+    return out
+
+
+@pytest.mark.parametrize("algo", ["nw", "hw", "ov", "sw"])
+@pytest.mark.parametrize("gaps", [(3, 1), (1, 3), (0, 0), (0, 2)])
+def test_q8_matches_naive(algo, gaps):
+    go, ge = gaps
+    rng = np.random.default_rng(hash((algo, gaps)) % 2**32)
+    # 9 queries: one full group + a partial group of one
+    queries = [
+        rng.integers(0, 24, L).astype(np.uint8)
+        for L in [13, 1, 40, 64, 7, 66, 29, 55, 21]
+    ]
+    lens = [0, 1, 63, 64, 65, 128, 129, 40, 90, 17]
+    seqs = [rng.integers(0, 24, L).astype(np.uint8) for L in lens]
+    out = _run_q8(queries, seqs, go, ge, algo, True)
+    for qi, q in enumerate(queries):
+        sc, qe, te = out[qi]
+        for ti, t in enumerate(seqs):
+            ns, nqe, nte = naive.score_end(q, t, S, go, ge, algo)
+            assert ns == sc[ti], (algo, gaps, qi, ti)
+            if len(t) > 0:
+                assert (nqe, nte) == (qe[ti], te[ti]), (algo, gaps, qi, ti)
+
+
+def test_q8_tie_breaking_low_complexity():
+    """Repetitive sequences maximize score ties; the oracle's sweep
+    order (max > min target column > min query row) must survive the
+    elementwise tracking."""
+    rng = np.random.default_rng(3)
+    queries = [
+        np.tile(np.array([0, 1], np.uint8), 20)[: 17 + i] for i in range(8)
+    ]
+    seqs = [
+        np.tile(np.array([0, 1, 0], np.uint8), 30)[: 11 + 7 * i]
+        for i in range(9)
+    ]
+    for algo in ("sw", "hw", "ov"):
+        out = _run_q8(queries, seqs, 0, 0, algo, True)
+        for qi, q in enumerate(queries):
+            sc, qe, te = out[qi]
+            for ti, t in enumerate(seqs):
+                ns, nqe, nte = naive.score_end(q, t, S, 0, 0, algo)
+                assert (ns, nqe, nte) == (sc[ti], qe[ti], te[ti]), (
+                    algo,
+                    qi,
+                    ti,
+                )
