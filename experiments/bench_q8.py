@@ -186,7 +186,8 @@ def bench():
             line = f"{algo:2s} {tag:5s}: v2 {ms_v2:7.2f} ms ({g_v2:6.1f} GCUPS)"
             for lanes in lane_widths:
                 from pyopal_tpu.ops import packing as pk_
-                fpw = pk_.pack_sequences_flat(seqs, lanes=lanes, chunk=64)
+                q8chunk = int(_os.environ.get("Q8_CHUNK", "64"))
+                fpw = pk_.pack_sequences_flat(seqs, lanes=lanes, chunk=q8chunk)
                 devw = [
                     jnp.asarray(x)
                     for x in (

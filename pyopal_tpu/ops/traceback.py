@@ -184,6 +184,112 @@ def _walk(dirs, spec, qs_hint, qe, te, go, ge):
     return i, j, ops[::-1]
 
 
+@partial(jax.jit, static_argnames=("algorithm",))
+def _walk_batch_device(dirs, qes, tes, algorithm):
+    """Batched on-device traceback walk over resident direction matrices.
+
+    The direction matrices are large (B x Q x T_pad bytes) and the
+    device link is the bottleneck (~25x the dir-pass compute time on
+    the remote-attached TPU, DEVNOTES.md), so instead of reading them
+    back, the `_walk` state machine runs on device: a ``while_loop``
+    over lock-stepped pairs, each step gathering one direction byte per
+    pair and emitting one op (or 255 = none) into a ``(steps, B)``
+    buffer — the readback shrinks to the op buffer (~1 MB).
+
+    Returns ``(buf, i, j)``: ``buf[s, b]`` is pair ``b``'s op at step
+    ``s`` (255 = no-op; ops are emitted end-to-start), and ``(i, j)``
+    are the 1-based start cells (``q_start``, ``t_start``).
+    """
+    spec = ALGORITHMS[algorithm]
+    B, Qd, T_pad = dirs.shape
+    flat = dirs.reshape(B, Qd * T_pad)
+    LMAX = 2 * (Qd + T_pad) + 4
+    i0 = qes.astype(jnp.int32) + 1
+    j0 = tes.astype(jnp.int32) + 1
+    st0 = jnp.zeros((B,), jnp.int32)  # 0=H, 1=E, 2=F
+    done0 = (i0 == 0) & (j0 == 0)
+    buf0 = jnp.full((LMAX, B), 255, jnp.uint8)
+
+    def cond(c):
+        s, i, j, st, done, buf = c
+        return (~jnp.all(done)) & (s < LMAX)
+
+    def body(c):
+        s, i, j, st, done, buf = c
+        idx = jnp.clip((i - 1) * T_pad + (j - 1), 0, Qd * T_pad - 1)
+        d = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0].astype(
+            jnp.int32
+        )
+        code = d & 3
+        in_H = (st == 0) & ~done
+        in_E = (st == 1) & ~done
+        in_F = (st == 2) & ~done
+        i_is0 = i == 0
+        j_is0 = j == 0
+        false = jnp.zeros((B,), bool)
+
+        # H-state boundary and inner sub-cases (mirrors `_walk` exactly)
+        h_ins = (in_H & i_is0) if spec.penalize_first_row else false
+        h_stop_i0 = false if spec.penalize_first_row else (in_H & i_is0)
+        h_del = (
+            (in_H & ~i_is0 & j_is0)
+            if spec.penalize_first_col
+            else false
+        )
+        h_stop_j0 = (
+            false
+            if spec.penalize_first_col
+            else (in_H & ~i_is0 & j_is0)
+        )
+        h_inner = in_H & ~i_is0 & ~j_is0
+        h_stop_clamp = (
+            (h_inner & (code == DIR_STOP)) if spec.clamp_zero else false
+        )
+        h_diag = h_inner & (code == DIR_DIAG)
+        h_toE = h_inner & (code == DIR_E)
+        h_toF = h_inner & (code == DIR_F) & ~h_stop_clamp
+
+        e_open = jnp.where(i > 0, (d & E_OPEN) != 0, True)
+        f_open = jnp.where(j > 0, (d & F_OPEN) != 0, True)
+
+        emit = jnp.full((B,), 255, jnp.uint8)
+        emit = jnp.where(h_ins | in_E, np.uint8(OP_INS), emit)
+        emit = jnp.where(h_del | in_F, np.uint8(OP_DEL), emit)
+        emit = jnp.where(h_diag, np.uint8(OP_MATCH), emit)
+
+        di = (h_del | h_diag | in_F).astype(jnp.int32)
+        dj = (h_ins | h_diag | in_E).astype(jnp.int32)
+        i2 = i - di
+        j2 = j - dj
+        done2 = (
+            done
+            | h_stop_i0
+            | h_stop_j0
+            | h_stop_clamp
+            | ((i2 == 0) & (j2 == 0))
+        )
+        st2 = jnp.where(
+            h_toE,
+            1,
+            jnp.where(
+                h_toF,
+                2,
+                jnp.where(
+                    in_E,
+                    jnp.where(e_open, 0, 1),
+                    jnp.where(in_F, jnp.where(f_open, 0, 2), st),
+                ),
+            ),
+        )
+        buf = jax.lax.dynamic_update_slice(buf, emit[None, :], (s, 0))
+        return s + 1, i2, j2, st2, done2, buf
+
+    _, i, j, _, _, buf = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), i0, j0, st0, done0, buf0)
+    )
+    return buf, i, j
+
+
 def full_alignment(query_enc, target_enc, matrix, go, ge, algorithm):
     """(score, q_start, t_start, q_end, t_end, ops uint8 array).
 
@@ -250,11 +356,30 @@ def full_alignments_batch(
             seq = targets[i]
             tgt[k, : len(seq)] = seq
             tlen[k] = len(seq)
-        dirs = np.asarray(
-            _dir_matrix_batch(
-                prof_dev, jnp.asarray(tgt), int(go), int(ge), algorithm
-            )
+        dirs_dev = _dir_matrix_batch(
+            prof_dev, jnp.asarray(tgt), int(go), int(ge), algorithm
         )
+        # the walk runs on device too: reading the direction matrices
+        # back costs ~25x their compute on the remote-attached link
+        # (DEVNOTES.md); pairs the walk does not serve get (-1, -1)
+        # ends, which finish immediately (i0 = j0 = 0)
+        qes = np.full(B, -1, np.int32)
+        tes = np.full(B, -1, np.int32)
+        for k, i in enumerate(batch):
+            if len(targets[i]) == 0 or Q == 0:
+                continue
+            qe, te = int(q_ends[i]), int(t_ends[i])
+            if algorithm == "sw" and (qe < 0 or te < 0):
+                continue
+            # semi-global ends on the j=0 boundary (te=-1) are walked
+            # from column 0 like the oracle does
+            qes[k], tes[k] = qe, te
+        buf, i_start, j_start = _walk_batch_device(
+            dirs_dev, jnp.asarray(qes), jnp.asarray(tes), algorithm
+        )
+        buf = np.asarray(buf)
+        i_start = np.asarray(i_start)
+        j_start = np.asarray(j_start)
         for k, i in enumerate(batch):
             target = targets[i]
             score = int(scores[i])
@@ -269,9 +394,9 @@ def full_alignments_batch(
                 # empty local alignment (score 0)
                 out[i] = (score, 0, 0, qe, te, np.zeros(0, np.uint8))
                 continue
-            # semi-global ends on the j=0 boundary (te=-1) are walked
-            # from column 0 like the oracle does
-            qs, ts, ops = _walk(dirs[k], spec, 0, qe, te, go, ge)
+            col = buf[:, k]
+            ops = col[col != 255][::-1]  # emitted end-to-start
+            qs, ts = int(i_start[k]), int(j_start[k])
             # refine M -> X where residues differ (vectorized)
             ops = np.asarray(ops, dtype=np.uint8)
             consumes_q = ops != OP_INS

@@ -52,17 +52,24 @@ class ShardedFlat:
     chunk: int = 64  # column-chunk quantum of the per-shard layouts
 
 
-def pack_flat_sharded(sequences, n_shards: int) -> ShardedFlat:
-    """Distribute encoded sequences over ``n_shards`` flat layouts."""
+def pack_flat_sharded(
+    sequences, n_shards: int, lanes: int = LANES
+) -> ShardedFlat:
+    """Distribute encoded sequences over ``n_shards`` flat layouts.
+
+    ``lanes`` selects the per-shard block width (128 for the
+    row-vectorized ragged kernels, 512/256 for the query-packed q8
+    kernel — see `pyopal_tpu.ops.pallas_q8`).
+    """
     n = len(sequences)
     order = sorted(range(n), key=lambda i: len(sequences[i]))
     # deal length-sorted blocks round-robin for load balance
     shard_ids: List[List[int]] = [[] for _ in range(n_shards)]
-    for b, start in enumerate(range(0, n, LANES)):
-        shard_ids[b % n_shards].extend(order[start : start + LANES])
+    for b, start in enumerate(range(0, n, lanes)):
+        shard_ids[b % n_shards].extend(order[start : start + lanes])
 
     packs = [
-        packing.pack_sequences_flat([sequences[i] for i in ids])
+        packing.pack_sequences_flat([sequences[i] for i in ids], lanes=lanes)
         for ids in shard_ids
     ]
 
@@ -70,8 +77,8 @@ def pack_flat_sharded(sequences, n_shards: int) -> ShardedFlat:
     nblk_max = max(max(p.n_blocks for p in packs), 1)
     steps_max = max(max(p.block_of_step.shape[0] for p in packs), 1)
 
-    flat = np.zeros((n_shards, rows_max, LANES), np.int32)
-    lengths = np.zeros((n_shards, nblk_max, 1, LANES), np.int32)
+    flat = np.zeros((n_shards, rows_max, lanes), np.int32)
+    lengths = np.zeros((n_shards, nblk_max, 1, lanes), np.int32)
     bos = np.zeros((n_shards, steps_max), np.int32)
     cos = np.zeros((n_shards, steps_max), np.int32)
     los = np.ones((n_shards, steps_max), np.int32)
@@ -198,3 +205,98 @@ def sharded_search_flat(
     out_qe = qe.transpose(1, 0, 2, 3).reshape(n_q, -1)[:, flatpos]
     out_te = te.transpose(1, 0, 2, 3).reshape(n_q, -1)[:, flatpos]
     return out_s, out_qe, out_te
+
+
+def sharded_search_flat_q8(
+    mesh,
+    profs,
+    qv,
+    maxq,
+    sf: ShardedFlat,
+    go: int,
+    ge: int,
+    algorithm: str,
+    with_ends: bool = True,
+    interpret: bool = False,
+):
+    """One ``shard_map`` launch of the query-packed q8 kernel.
+
+    The batch fast path over a mesh: ``sf`` must be packed at the q8
+    lane width (`pack_flat_sharded(..., lanes=512)` for tiers <= 256),
+    ``profs``/``qv``/``maxq`` come from
+    `pyopal_tpu.ops.pallas_q8.make_profiles_q8_host` and are replicated;
+    the database shards ride the ``"db"`` axis with zero communication
+    in the hot loop (merge happens host-side by gather permutation,
+    exactly as `sharded_search_flat`).  Returns ``(scores, q_ends,
+    t_ends)`` of shape ``(n_groups * QB, n_targets)`` in global target
+    order, row ``g * QB + qb`` = group g's qb-th query slot.
+    """
+    from ..ops import pallas_q8 as q8
+
+    n_g = profs.shape[0]
+    nblk_max = sf.lengths.shape[1]
+    lanes = sf.flat_targets.shape[2]
+
+    def local(profs, qv, maxq, flat_t, lengths, bos, cos, los):
+        s, qe, te = q8.search_flat_q8(
+            profs,
+            qv,
+            maxq,
+            flat_t[0],
+            lengths[0],
+            bos[0],
+            cos[0],
+            los[0],
+            int(go),
+            int(ge),
+            algorithm,
+            with_ends,
+            interpret=interpret,
+            chunk=sf.chunk,
+        )
+        return s[None], qe[None], te[None]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(None, None, None),
+            P(None, None, None),
+            P(None),
+            P(DB_AXIS, None, None),
+            P(DB_AXIS, None, None, None),
+            P(DB_AXIS, None),
+            P(DB_AXIS, None),
+            P(DB_AXIS, None),
+        ),
+        out_specs=(
+            P(DB_AXIS, None, None, None, None),
+            P(DB_AXIS, None, None, None, None),
+            P(DB_AXIS, None, None, None, None),
+        ),
+        check_vma=False,
+    )
+
+    def put(x, spec):
+        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+    flat_t = put(sf.flat_targets, P(DB_AXIS, None, None))
+    lengths = put(sf.lengths, P(DB_AXIS, None, None, None))
+    bos = put(sf.block_of_step, P(DB_AXIS, None))
+    cos = put(sf.chunk_of_step, P(DB_AXIS, None))
+    los = put(sf.last_of_step, P(DB_AXIS, None))
+    profs_r = put(profs, P(None, None, None))
+    qv_r = put(qv, P(None, None, None))
+    maxq_r = put(maxq, P(None))
+
+    s, qe, te = fn(profs_r, qv_r, maxq_r, flat_t, lengths, bos, cos, los)
+    # (n_shards, n_g, nblk_max, QB, lanes) -> (n_g*QB, global target)
+    flatpos = sf.inv_shard * (nblk_max * lanes) + sf.inv_pos
+
+    def assemble(x):
+        x = np.asarray(x)
+        return x.transpose(1, 3, 0, 2, 4).reshape(n_g * q8.QB, -1)[
+            :, flatpos
+        ]
+
+    return assemble(s), assemble(qe), assemble(te)

@@ -216,3 +216,53 @@ class TestShardedFlat:
             assert ns == s[0, i], i
             if len(seqs[i]):
                 assert (nqe, nte) == (qe[0, i], te[0, i]), i
+
+
+class TestShardedFlatQ8:
+    def test_matches_oracle(self):
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs a multi-device mesh")
+        import jax.numpy as jnp
+        from pyopal_tpu.matrices import ScoringMatrix
+        from pyopal_tpu.ops import naive, pallas_q8 as q8
+        from pyopal_tpu.parallel import mesh as mesh_lib, sharded_flat as sfm
+
+        rng = np.random.default_rng(11)
+        S = ScoringMatrix.from_name("BLOSUM50").int_data()
+        seqs = [
+            rng.integers(0, 24, int(L)).astype(np.uint8)
+            for L in rng.integers(0, 150, 300)
+        ]
+        sf = sfm.pack_flat_sharded(seqs, 4, lanes=128)
+        queries = [
+            rng.integers(0, 24, int(L)).astype(np.uint8)
+            for L in (30, 17, 44, 9, 25, 61, 38, 5)
+        ]
+        groups = q8.plan_groups([len(q) for q in queries])
+        profs, qv, maxq = q8.make_profiles_q8_host(
+            queries, S, groups, lanes=128
+        )
+        mesh = mesh_lib.device_mesh(4)
+        s, qe, te = sfm.sharded_search_flat_q8(
+            mesh,
+            jnp.asarray(profs, jnp.bfloat16),
+            jnp.asarray(qv),
+            jnp.asarray(maxq),
+            sf,
+            3,
+            1,
+            "sw",
+            interpret=True,
+        )
+        for g, idxs in enumerate(groups):
+            for qb, qi in enumerate(idxs):
+                row = g * q8.QB + qb
+                for i in range(0, 300, 37):
+                    ns, nqe, nte = naive.score_end(
+                        queries[qi], seqs[i], S, 3, 1, "sw"
+                    )
+                    assert ns == s[row, i], (qi, i)
+                    if len(seqs[i]):
+                        assert (nqe, nte) == (qe[row, i], te[row, i]), (qi, i)
