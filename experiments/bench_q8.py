@@ -205,11 +205,12 @@ def bench():
 
                 import os as _os2
                 unroll = int(_os2.environ.get("Q8_UNROLL", "8"))
+                ncols = int(_os2.environ.get("Q8_NCOLS", str(q8.NCOLS)))
 
                 def run_q8():
                     return q8.search_flat_q8(
                         p8, qv, maxq, *devw, 3, 1, algo, mode_ends,
-                        chunk=fpw.chunk, unroll=unroll,
+                        chunk=fpw.chunk, unroll=unroll, ncols=ncols,
                     )
 
                 ms_q8 = timed(run_q8)

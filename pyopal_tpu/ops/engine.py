@@ -156,8 +156,9 @@ def _run_group_xla(prof_t, targets, lengths, go, ge, algorithm):
 
 
 #: q8 lane width by query tier (bounded by the 16 MB scoped-VMEM limit
-#: on its three (Q_pad, 8, lanes) f32 scratch buffers); tiers beyond 512
-#: stay on the v2 ragged kernel, which wins there (see DEVNOTES.md).
+#: on its (Q_pad, 8, lanes) f32 H/E + (ncols, Q_pad, 8, lanes) bf16 S
+#: scratch); tiers beyond 512 stay on the v2 ragged kernel, which wins
+#: there (see DEVNOTES.md).
 _Q8_LANES_BY_TIER = {64: 512, 128: 512, 256: 512, 512: 256}
 
 

@@ -143,9 +143,9 @@ def _q8_kernel(
     qend_ref,
     tend_ref,
     # scratch
-    H_ref,  # (Q_pad, QB, LANES) f32: H of the previous column
+    H_ref,  # (Q_pad, QB, LANES) f32: H of the previous column group
     E_ref,  # (Q_pad, QB, LANES) f32
-    S_ref,  # (Q_pad, QB, LANES) f32: current column's scores
+    S_ref,  # (ncols, Q_pad, QB, LANES) bf16: current columns' scores
     best_ref,  # (1, QB, LANES) f32
     cap_ref,  # (1, QB, LANES) f32
     bi_ref,  # (1, QB, LANES) int32
@@ -158,9 +158,10 @@ def _q8_kernel(
     with_ends: bool,
     chunk: int,
     unroll: int,
+    ncols: int,
 ):
     spec = ALGORITHMS[algorithm]
-    Q_pad, _, L = H_ref.shape
+    _, Q_pad, _, L = S_ref.shape
     gi = pl.program_id(0)
     i_step = pl.program_id(1)
     c = cos_ref[i_step]
@@ -204,65 +205,112 @@ def _q8_kernel(
 
     qlast_rows = qv - 1  # (1, QB, LANES): row index of each query's end
 
-    def column(jj, jcarry):
-        best, bi, bj, cap, ci = jcarry
-        j = c * chunk + jj
-        sym = targets_ref[pl.ds(jj, 1), :]  # (1, LANES)
-        onehot = (alpha_iota == sym).astype(jnp.bfloat16)
-        S_ref[:] = jax.lax.dot_general(
-            prof,
-            onehot,
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).reshape(Q_pad, QB, L)
-        at_end = j == (lengths - 1)  # (1, 1, LANES)
+    def colgroup(jj, jcarry):
+        """``ncols`` adjacent target columns per row sweep.
 
-        jf = j.astype(jnp.float32)
+        Column ``k>0`` reads its left-neighbor H/E straight from column
+        ``k-1``'s registers (the skewed-wavefront pipeline), so VMEM
+        H/E traffic drops by ``1/ncols`` and the ``ncols`` serial
+        ``F``/``H`` recurrences advance concurrently — the same trick
+        as widening lanes, without the VMEM footprint.
+        """
+        best, bi, bj, cap, ci = jcarry
+        j0 = c * chunk + jj * ncols
+        for k in range(ncols):
+            sym = targets_ref[pl.ds(jj * ncols + k, 1), :]  # (1, LANES)
+            onehot = (alpha_iota == sym).astype(jnp.bfloat16)
+            # one-hot lookup: each output is a single bf16 profile
+            # entry (f32-accumulated, cast back) — exact round trip
+            S_ref[k] = (
+                jax.lax.dot_general(
+                    prof,
+                    onehot,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+                .reshape(Q_pad, QB, L)
+                .astype(jnp.bfloat16)
+            )
+        at_end = [j0 + k == (lengths - 1) for k in range(ncols)]
+
         ones = jnp.ones((1, QB, L), jnp.float32)
+        jfs = [(j0 + k).astype(jnp.float32) for k in range(ncols)]
         if spec.penalize_first_row:  # nw: penalized row -1 boundary
-            hup0 = ones * (-(gof + jf * gef))
+            hups = [ones * (-(gof + jfs[k] * gef)) for k in range(ncols)]
             hdiag0 = ones * jnp.where(
-                j == 0, 0.0, -(gof + (jf - 1.0) * gef)
+                j0 == 0, 0.0, -(gof + (jfs[0] - 1.0) * gef)
             )
         else:
-            hup0 = ones * 0.0
+            hups = [ones * 0.0 for _ in range(ncols)]
             hdiag0 = ones * 0.0
-        f0 = jnp.full((1, QB, L), NEG, jnp.float32)
+        fs = [jnp.full((1, QB, L), NEG, jnp.float32)] * ncols
+        # per-column tracking accumulators, seeded from the running
+        # carry: merging them back in column order (strictly-greater)
+        # preserves the oracle's max > min-column > min-row ordering
+        # even though the sweep visits the group's cells row-major
+        bests = [best] * ncols
+        bis = [bi] * ncols
+        bjs = [bj] * ncols
 
         def irow(i, icarry):
-            hdiag, hup, f, best, bi, bj, cap, ci = icarry
-            s = S_ref[pl.ds(i, 1)]
+            hdiag0, hups, fs, bests, bis, bjs, cap, ci = icarry
             h_left = H_ref[pl.ds(i, 1)]
-            e_old = E_ref[pl.ds(i, 1)]
-            e_new = jnp.maximum(h_left - gof, e_old - gef)
-            diag = hdiag + s
-            tmp = jnp.maximum(diag, e_new)
-            if spec.clamp_zero:
-                tmp = jnp.maximum(tmp, 0.0)
-            f = jnp.maximum(hup - gof, f - gef)
-            h_new = jnp.maximum(tmp, f)
-            H_ref[pl.ds(i, 1)] = h_new
-            E_ref[pl.ds(i, 1)] = e_new
+            e_left = E_ref[pl.ds(i, 1)]
+            # hdiag of column k at this row = h of column k-1 one row
+            # up = hups[k-1] before this row's update (k=0: the carry)
+            hdiags = [hdiag0] + list(hups[:-1])
+            new_hups, new_fs = [], []
+            new_bests = list(bests)
+            new_bis, new_bjs = list(bis), list(bjs)
+            h_in, e_in = h_left, e_left
+            for k in range(ncols):
+                s = S_ref[k, pl.ds(i, 1)].astype(jnp.float32)
+                e_new = jnp.maximum(h_in - gof, e_in - gef)
+                diag = hdiags[k] + s
+                tmp = jnp.maximum(diag, e_new)
+                if spec.clamp_zero:
+                    tmp = jnp.maximum(tmp, 0.0)
+                f = jnp.maximum(hups[k] - gof, fs[k] - gef)
+                h_new = jnp.maximum(tmp, f)
+                new_hups.append(h_new)
+                new_fs.append(f)
+                h_in, e_in = h_new, e_new
 
-            if spec.track_all_cells:  # sw
-                upd = h_new > best
-                best = jnp.where(upd, h_new, best)
-                if with_ends:
-                    bi = jnp.where(upd, i, bi)
-                    bj = jnp.where(upd, j, bj)
-            if spec.track_last_row:  # hw / ov
-                upd = (qlast_rows == i) & (h_new > best)
-                best = jnp.where(upd, h_new, best)
-                if with_ends:
-                    bj = jnp.where(upd, j, bj)
-            if spec.track_terminal:  # nw
-                cap = jnp.where((qlast_rows == i) & at_end, h_new, cap)
-            if spec.track_last_col:  # ov
-                updc = at_end & (h_new > cap)
-                cap = jnp.where(updc, h_new, cap)
-                if with_ends:
-                    ci = jnp.where(updc, i, ci)
-            return h_left, h_new, f, best, bi, bj, cap, ci
+                if spec.track_all_cells:  # sw
+                    upd = h_new > new_bests[k]
+                    new_bests[k] = jnp.where(upd, h_new, new_bests[k])
+                    if with_ends:
+                        new_bis[k] = jnp.where(upd, i, new_bis[k])
+                        new_bjs[k] = jnp.where(upd, j0 + k, new_bjs[k])
+                if spec.track_last_row:  # hw / ov
+                    upd = (qlast_rows == i) & (h_new > new_bests[k])
+                    new_bests[k] = jnp.where(upd, h_new, new_bests[k])
+                    if with_ends:
+                        new_bjs[k] = jnp.where(upd, j0 + k, new_bjs[k])
+                # cap/ci stay shared across the group: at most one
+                # column per lane satisfies ``j == len-1``, so no
+                # inter-column ties can arise
+                if spec.track_terminal:  # nw
+                    cap = jnp.where(
+                        (qlast_rows == i) & at_end[k], h_new, cap
+                    )
+                if spec.track_last_col:  # ov
+                    updc = at_end[k] & (h_new > cap)
+                    cap = jnp.where(updc, h_new, cap)
+                    if with_ends:
+                        ci = jnp.where(updc, i, ci)
+            H_ref[pl.ds(i, 1)] = h_in
+            E_ref[pl.ds(i, 1)] = e_in
+            return (
+                h_left,
+                tuple(new_hups),
+                tuple(new_fs),
+                tuple(new_bests),
+                tuple(new_bis),
+                tuple(new_bjs),
+                cap,
+                ci,
+            )
 
         def rowblock(b, icarry):
             for u in range(unroll):
@@ -274,13 +322,31 @@ def _q8_kernel(
             0,
             n_rowblocks,
             rowblock,
-            (hdiag0, hup0, f0, best, bi, bj, cap, ci),
+            (
+                hdiag0,
+                tuple(hups),
+                tuple(fs),
+                tuple(bests),
+                tuple(bis),
+                tuple(bjs),
+                cap,
+                ci,
+            ),
         )
-        _, _, _, best, bi, bj, cap, ci = icarry
+        _, _, _, bests, bis, bjs, cap, ci = icarry
+        # merge per-column accumulators in column order
+        for k in range(ncols):
+            upd = bests[k] > best
+            best = jnp.where(upd, bests[k], best)
+            if with_ends:
+                bi = jnp.where(upd, bis[k], bi)
+                bj = jnp.where(upd, bjs[k], bj)
         return best, bi, bj, cap, ci
 
     jcarry0 = (best_ref[:], bi_ref[:], bj_ref[:], cap_ref[:], ci_ref[:])
-    best, bi, bj, cap, ci = jax.lax.fori_loop(0, chunk, column, jcarry0)
+    best, bi, bj, cap, ci = jax.lax.fori_loop(
+        0, chunk // ncols, colgroup, jcarry0
+    )
     best_ref[:] = best
     bi_ref[:] = bi
     bj_ref[:] = bj
@@ -325,6 +391,11 @@ def _q8_kernel(
         tend_ref[0, 0, :, :] = te[0]
 
 
+#: target columns advanced per row sweep (the skewed-wavefront width);
+#: 2 halves H/E traffic and doubles the independent serial chains
+NCOLS = 2
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -335,6 +406,7 @@ def _q8_kernel(
         "interpret",
         "chunk",
         "unroll",
+        "ncols",
     ),
 )
 def search_flat_q8(
@@ -353,6 +425,7 @@ def search_flat_q8(
     interpret=False,
     chunk=CHUNK,
     unroll=UNROLL,
+    ncols=NCOLS,
 ):
     """One launch: all query groups x the whole flat-packed database.
 
@@ -367,6 +440,8 @@ def search_flat_q8(
     lanes = flat_targets.shape[1]
     while Q_pad % unroll:
         unroll //= 2
+    while chunk % ncols:
+        ncols //= 2
 
     kernel = partial(
         _q8_kernel,
@@ -376,6 +451,7 @@ def search_flat_q8(
         with_ends=with_ends,
         chunk=chunk,
         unroll=unroll,
+        ncols=ncols,
     )
     out_shape = [
         jax.ShapeDtypeStruct((n_g, n_blocks, QB, lanes), jnp.int32)
@@ -415,7 +491,7 @@ def search_flat_q8(
         scratch_shapes=[
             pltpu.VMEM((Q_pad, QB, lanes), f32),  # H
             pltpu.VMEM((Q_pad, QB, lanes), f32),  # E
-            pltpu.VMEM((Q_pad, QB, lanes), f32),  # S
+            pltpu.VMEM((ncols, Q_pad, QB, lanes), jnp.bfloat16),  # S
             pltpu.VMEM((1, QB, lanes), f32),  # best
             pltpu.VMEM((1, QB, lanes), f32),  # cap
             pltpu.VMEM((1, QB, lanes), jnp.int32),  # bi
