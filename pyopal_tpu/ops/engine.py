@@ -161,6 +161,15 @@ def _run_group_xla(prof_t, targets, lengths, go, ge, algorithm):
 #: there (see DEVNOTES.md).
 _Q8_LANES_BY_TIER = {64: 512, 128: 512, 256: 512, 512: 256}
 
+#: q8 groups (of 8 queries) per kernel launch.  Batches beyond the
+#: quantum split into multiple launches, which bounds the set of
+#: compiled n_groups shapes to {quantum, remainders < quantum}.
+#: Measured on the tunneled dev device, splitting does NOT overlap
+#: readbacks with compute (the link serializes transfers), so the
+#: quantum is set at the bench batch size; on directly-attached
+#: hardware a smaller quantum pipelines transfer under compute.
+_Q8_LAUNCH_GROUPS = 8
+
 
 def _profiles_q8(queries_enc, matrix, groups, lanes):
     """Device-resident q8 profile stack (+qv/maxq), memoized like
@@ -244,29 +253,37 @@ def _search_batch_pallas(
                 database, start, end, lanes=lanes_q8
             )
             flat_t, lengths, bos, cos, los, inv_pos = _flat_device(fpw)
-            profs, qv, maxq = _profiles_q8(
-                queries_enc, matrix, groups, lanes_q8
-            )
-            s, qe, te = q8.search_flat_q8(
-                profs,
-                qv,
-                maxq,
-                flat_t,
-                lengths,
-                bos,
-                cos,
-                los,
-                int(go),
-                int(ge),
-                algorithm,
-                with_ends,
-                chunk=fpw.chunk,
-            )
-            outs.append(
-                _assemble_flat_q8(inv_pos, s, qe, te, with_ends=with_ends)
-            )
-            for g in groups:
-                cohort_order.extend(g)
+            # split large batches into launch quanta: the per-launch
+            # result buffers read back while later launches compute,
+            # hiding all but the last transfer behind kernel time (and
+            # quantizing n_groups keeps the compiled-shape set small)
+            for k in range(0, len(groups), _Q8_LAUNCH_GROUPS):
+                gs = groups[k : k + _Q8_LAUNCH_GROUPS]
+                profs, qv, maxq = _profiles_q8(
+                    queries_enc, matrix, gs, lanes_q8
+                )
+                s, qe, te = q8.search_flat_q8(
+                    profs,
+                    qv,
+                    maxq,
+                    flat_t,
+                    lengths,
+                    bos,
+                    cos,
+                    los,
+                    int(go),
+                    int(ge),
+                    algorithm,
+                    with_ends,
+                    chunk=fpw.chunk,
+                )
+                outs.append(
+                    _assemble_flat_q8(
+                        inv_pos, s, qe, te, with_ends=with_ends
+                    )
+                )
+                for g in gs:
+                    cohort_order.extend(g)
 
         if v2_idx:
             cohort = [queries_enc[i] for i in v2_idx]
@@ -295,7 +312,11 @@ def _search_batch_pallas(
             )
             cohort_order.extend(v2_idx)
 
-    stacked = np.asarray(jnp.concatenate(outs, axis=0))  # single readback
+    # single readback: device-side concatenation + one transfer.
+    # (int16-packed and bitcast-compressed readbacks were measured
+    # slower on the tunneled dev link — see DEVNOTES.md; transfer
+    # cost there is dominated by neither bytes nor element count)
+    stacked = np.asarray(jnp.concatenate(outs, axis=0))
 
     scores = np.zeros((nq, n), dtype=np.int32)
     q_ends = np.full((nq, n), -1, dtype=np.int32)
