@@ -41,6 +41,12 @@ from ..results import (
 from . import packing, xla
 
 
+#: test hook: run the Pallas dispatch path (cohorts, q8 group
+#: splitting, assembly, readback) with interpreted kernels on any
+#: backend, so its bookkeeping is exercised without TPU hardware
+_INTERPRET = False
+
+
 def _backend_kind() -> str:
     try:
         return jax.default_backend()
@@ -275,6 +281,7 @@ def _search_batch_pallas(
                     int(ge),
                     algorithm,
                     with_ends,
+                    interpret=_INTERPRET,
                     chunk=fpw.chunk,
                 )
                 outs.append(
@@ -302,6 +309,7 @@ def _search_batch_pallas(
                 int(ge),
                 algorithm,
                 with_ends,
+                interpret=_INTERPRET,
                 chunk=fp.chunk,
                 # pad symbol 31 scores PAD for every query row iff the
                 # alphabet leaves profile column 31 unused
@@ -393,7 +401,7 @@ def search_scores_batch(
     # entries within +-256; larger (custom) matrices take the int32 XLA
     # engine instead.
     use_pallas = (
-        _backend_kind() == "tpu"
+        (_backend_kind() == "tpu" or _INTERPRET)
         and np.abs(matrix).max(initial=0) <= 256
     )
     if use_pallas:
@@ -494,6 +502,7 @@ def _search_long_pallas(
         int(ge),
         algorithm,
         with_ends,
+        interpret=_INTERPRET,
         chunk=fp.chunk,
     )
     flatpos = np.asarray(fp.inv_pos)

@@ -1,0 +1,84 @@
+"""Engine Pallas-dispatch bookkeeping on CPU (interpreted kernels).
+
+`engine._search_batch_pallas` — cohort planning by query tier, q8
+group formation and splitting across launch quanta
+(`_Q8_LAUNCH_GROUPS`), v2 remainders, on-device assembly, and the
+single readback — normally only runs on TPU.  The `engine._INTERPRET`
+hook runs the same code with interpreted kernels, so its index
+bookkeeping is pinned against the (oracle-validated) XLA path without
+hardware.  Reference analog: the generated platform shims' result
+wiring, `/root/reference/src/pyopal/platform/pyx.in:43-99`.
+"""
+
+import numpy as np
+import pytest
+
+import pyopal_tpu as po
+from pyopal_tpu.ops import engine
+
+LETTERS = "ARNDCQEGHILKMFPSTWYV"
+
+
+def _random_seq(rng, n):
+    return "".join(LETTERS[i] for i in rng.integers(0, 20, n))
+
+
+@pytest.fixture()
+def db():
+    rng = np.random.default_rng(11)
+    lens = [0, 1, 5, 63, 64, 65, 127, 128, 129, 40, 33, 7, 200, 90, 11, 2]
+    return po.Database([_random_seq(rng, n) for n in lens])
+
+
+def _encode(alphabet, queries):
+    return [
+        np.frombuffer(alphabet.encode(q), dtype=np.uint8) for q in queries
+    ]
+
+
+@pytest.mark.parametrize("algorithm", ["sw", "nw"])
+def test_pallas_dispatch_matches_xla(db, algorithm, monkeypatch):
+    """17 short + 2 mid queries: two full q8 groups split across two
+    single-group launches (quantum=1), a one-query v2 remainder, and a
+    second-tier cohort — all assembled back into query order."""
+    rng = np.random.default_rng(5)
+    matrix = po.Aligner().scoring_matrix.int_data()
+    qlens = [64, 60, 55, 50, 45, 40, 35, 30, 25, 20, 15, 10, 8, 6, 5, 4, 3]
+    qlens += [100, 90]  # tier-128 cohort (v2: fewer than a q8 group)
+    queries = _encode(db.alphabet, [_random_seq(rng, n) for n in qlens])
+
+    ref = engine.search_scores_batch(
+        db, 0, len(db), queries, matrix, 3, 1, algorithm, with_ends=True
+    )
+
+    monkeypatch.setattr(engine, "_INTERPRET", True)
+    monkeypatch.setattr(engine, "_Q8_LAUNCH_GROUPS", 1)
+    got = engine.search_scores_batch(
+        db, 0, len(db), queries, matrix, 3, 1, algorithm, with_ends=True
+    )
+
+    for name, a, b in zip(("scores", "q_ends", "t_ends"), got, ref):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_dispatch_with_slice_and_empty_query(db, monkeypatch):
+    """Slices and empty queries route through the same bookkeeping."""
+    rng = np.random.default_rng(9)
+    matrix = po.Aligner().scoring_matrix.int_data()
+    queries = _encode(
+        db.alphabet, ["", _random_seq(rng, 30), _random_seq(rng, 64)]
+    )
+    # plus enough same-tier queries to form one full q8 group
+    queries += _encode(
+        db.alphabet, [_random_seq(rng, 40) for _ in range(7)]
+    )
+
+    ref = engine.search_scores_batch(
+        db, 3, 12, queries, matrix, 2, 2, "ov", with_ends=True
+    )
+    monkeypatch.setattr(engine, "_INTERPRET", True)
+    got = engine.search_scores_batch(
+        db, 3, 12, queries, matrix, 2, 2, "ov", with_ends=True
+    )
+    for name, a, b in zip(("scores", "q_ends", "t_ends"), got, ref):
+        np.testing.assert_array_equal(a, b, err_msg=name)
