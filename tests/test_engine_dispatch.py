@@ -61,6 +61,27 @@ def test_pallas_dispatch_matches_xla(db, algorithm, monkeypatch):
         np.testing.assert_array_equal(a, b, err_msg=name)
 
 
+def test_dispatch_tier512_q8_lanes(db, monkeypatch):
+    """Tier-512 queries ride q8 at its narrower 256-lane width
+    (`_Q8_LANES_BY_TIER`); the wide-tier packing must assemble back to
+    the XLA path's results bit-exactly."""
+    rng = np.random.default_rng(13)
+    matrix = po.Aligner().scoring_matrix.int_data()
+    qlens = [509, 480, 452, 420, 390, 350, 300, 260]
+    queries = _encode(db.alphabet, [_random_seq(rng, n) for n in qlens])
+
+    ref = engine.search_scores_batch(
+        db, 0, len(db), queries, matrix, 3, 1, "sw", with_ends=True
+    )
+    assert engine._Q8_LANES_BY_TIER.get(512) is not None
+    monkeypatch.setattr(engine, "_INTERPRET", True)
+    got = engine.search_scores_batch(
+        db, 0, len(db), queries, matrix, 3, 1, "sw", with_ends=True
+    )
+    for name, a, b in zip(("scores", "q_ends", "t_ends"), got, ref):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
 def test_dispatch_with_slice_and_empty_query(db, monkeypatch):
     """Slices and empty queries route through the same bookkeeping."""
     rng = np.random.default_rng(9)
