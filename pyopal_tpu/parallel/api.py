@@ -1,0 +1,213 @@
+"""User-facing multi-device database search.
+
+The reference's user-visible parallelism knob is ``align(threads=N)``
+(``/root/reference/src/pyopal/_align.py:28-41``): a thread pool over
+database chunks.  On TPU the equivalent axis is the device mesh, and
+this module exposes it with the same contract — chunking (sharding)
+never changes scores, and results come back keyed by global target
+index:
+
+>>> import pyopal_tpu as po
+>>> from pyopal_tpu.parallel import align_arrays_sharded
+>>> db = po.Database(["AACCGCTG", "ATGCGCT", "TTATTACG"])
+>>> out = align_arrays_sharded(["ACCTG"], db, gap_open=2)
+>>> out["scores"][0].tolist()
+[41, 31, 23]
+
+`align_arrays_sharded` is the mesh analog of
+`pyopal_tpu.Aligner.align_arrays`: the encoded database is dealt
+round-robin (length-sorted) over every local device, query profiles
+are replicated, one ``shard_map`` launch per query-tier cohort runs
+the flat Pallas kernels on each shard with zero communication in the
+hot loop, and per-shard outputs are reassembled host-side into global
+target order.  Under ``jax.distributed.initialize`` (see
+`pyopal_tpu.parallel.initialize_distributed`) the same call spans a
+multi-host pod.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import sharded_flat as sfm
+from .mesh import device_mesh
+
+__all__ = ["align_arrays_sharded"]
+
+
+def _cohorts_by_tier(queries_enc):
+    from ..ops import pallas_ragged as pr
+
+    cohorts: dict = {}
+    for i, q in enumerate(queries_enc):
+        tier = pr.profile_qpad(max(len(q), 8))
+        cohorts.setdefault(tier, []).append(i)
+    return cohorts
+
+
+def align_arrays_sharded(
+    queries,
+    database,
+    *,
+    scoring_matrix=None,
+    gap_open: int = 3,
+    gap_extend: int = 1,
+    mode: str = "score",
+    algorithm: str = "sw",
+    mesh=None,
+):
+    """Columnar batch search sharded over a device mesh.
+
+    Identical semantics to `pyopal_tpu.Aligner.align_arrays` (same
+    scores/ends for every ``(query, target)`` pair, same empty-
+    alignment ``-1`` sentinels), with the database distributed over
+    ``mesh`` — by default a 1-D mesh spanning every local device.
+    Query-tier cohorts route exactly like the single-device engine:
+    full groups of 8 same-tier queries take the query-packed q8
+    kernel, remainders the v2 ragged kernel, each as one ``shard_map``
+    launch (`pyopal_tpu.parallel.sharded_flat`).
+
+    Arguments:
+        queries: iterable of query sequences (`str`, `bytes`, …).
+        database (`~pyopal_tpu.BaseDatabase`): targets to score.
+        scoring_matrix: a `~pyopal_tpu.ScoringMatrix`, a matrix name,
+            or `None` for BLOSUM50 (the `~pyopal_tpu.Aligner`
+            defaults).
+        gap_open (`int`): gap opening penalty (non-negative).
+        gap_extend (`int`): gap extension penalty (non-negative).
+        mode (`str`): ``"score"`` or ``"end"``.
+        algorithm (`str`): ``"nw"``, ``"hw"``, ``"ov"`` or ``"sw"``.
+        mesh: a 1-D `jax.sharding.Mesh` with axis ``"db"`` (`None`:
+            all local devices via `pyopal_tpu.parallel.device_mesh`).
+
+    Returns:
+        `dict`: ``{"scores": (n_queries, n_targets) int32}`` plus, for
+        ``mode="end"``, ``"query_ends"`` and ``"target_ends"``.
+    """
+    from ..aligner import Aligner
+    from ..ops import engine, pallas_q8 as q8, pallas_ragged as pr
+
+    aligner = Aligner(
+        scoring_matrix, gap_open=gap_open, gap_extend=gap_extend
+    )
+    if mode not in ("score", "end"):
+        raise ValueError(f"invalid batch search mode: {mode!r}")
+    if algorithm not in ("nw", "hw", "ov", "sw"):
+        raise ValueError(f"invalid algorithm: {algorithm!r}")
+    if database.alphabet != aligner.alphabet:
+        raise ValueError(
+            "database and score matrix have different alphabets"
+        )
+    if mesh is None:
+        mesh = device_mesh()
+    n_shards = int(np.prod(list(mesh.shape.values())))
+    matrix = aligner.scoring_matrix.int_data()
+    safe_pad = matrix.shape[1] <= 31
+    interpret = jax.default_backend() != "tpu"
+    with_ends = mode == "end"
+
+    queries_enc = [
+        np.frombuffer(database.alphabet.encode(q), dtype=np.uint8)
+        for q in queries
+    ]
+    nq = len(queries_enc)
+
+    with database.lock.read:
+        n = database.get_size()
+        seqs = [database.get_encoded(i) for i in range(n)]
+
+    if nq == 0 or n == 0:
+        empty = np.zeros((nq, n), dtype=np.int32)
+        out = {"scores": empty}
+        if with_ends:
+            out["query_ends"] = np.full((nq, n), -1, np.int32)
+            out["target_ends"] = np.full((nq, n), -1, np.int32)
+        return out
+
+    scores = np.zeros((nq, n), dtype=np.int32)
+    q_ends = np.full((nq, n), -1, dtype=np.int32)
+    t_ends = np.full((nq, n), -1, dtype=np.int32)
+    packs: dict = {}  # lane width -> ShardedFlat of the whole database
+
+    def _pack(lanes):
+        if lanes not in packs:
+            packs[lanes] = sfm.pack_flat_sharded(seqs, n_shards, lanes=lanes)
+        return packs[lanes]
+
+    def _store(qidx_rows, s, qe, te):
+        for row, qi in qidx_rows:
+            scores[qi] = s[row]
+            if with_ends:
+                q_ends[qi] = qe[row]
+                t_ends[qi] = te[row]
+
+    for tier, qidx in sorted(_cohorts_by_tier(queries_enc).items()):
+        lanes_q8 = (
+            engine._Q8_LANES_BY_TIER.get(tier) if safe_pad else None
+        )
+        q8_idx, v2_idx = [], qidx
+        if lanes_q8 is not None and len(qidx) >= q8.QB:
+            order = sorted(qidx, key=lambda i: -queries_enc[i].shape[0])
+            m = (len(order) // q8.QB) * q8.QB
+            q8_idx, v2_idx = order[:m], order[m:]
+
+        if q8_idx:
+            groups = [
+                q8_idx[k : k + q8.QB]
+                for k in range(0, len(q8_idx), q8.QB)
+            ]
+            profs, qv, maxq = q8.make_profiles_q8_host(
+                queries_enc, matrix, groups, lanes=lanes_q8
+            )
+            s, qe, te = sfm.sharded_search_flat_q8(
+                mesh,
+                jnp.asarray(profs, jnp.bfloat16),
+                jnp.asarray(qv),
+                jnp.asarray(maxq),
+                _pack(lanes_q8),
+                gap_open,
+                gap_extend,
+                algorithm,
+                with_ends=with_ends,
+                interpret=interpret,
+            )
+            _store(
+                [
+                    (g * q8.QB + qb, qi)
+                    for g, idxs in enumerate(groups)
+                    for qb, qi in enumerate(idxs)
+                ],
+                s,
+                qe,
+                te,
+            )
+
+        if v2_idx:
+            cohort = [queries_enc[i] for i in v2_idx]
+            profs = jnp.asarray(
+                pr.make_profiles_host(cohort, matrix), jnp.bfloat16
+            )
+            qlens = jnp.asarray(
+                np.array([len(q) for q in cohort], np.int32)
+            )
+            s, qe, te = sfm.sharded_search_flat(
+                mesh,
+                profs,
+                qlens,
+                _pack(sfm.LANES),
+                gap_open,
+                gap_extend,
+                algorithm,
+                with_ends=with_ends,
+                interpret=interpret,
+                safe_pad=safe_pad,
+            )
+            _store(list(enumerate(v2_idx)), s, qe, te)
+
+    out = {"scores": scores}
+    if with_ends:
+        out["query_ends"] = q_ends
+        out["target_ends"] = t_ends
+    return out
