@@ -34,23 +34,23 @@ _ALGORITHMS = ("nw", "hw", "ov", "sw")
 class Aligner:
     """A TPU-accelerated database-search aligner.
 
-    The `Aligner` implements an accelerated pipeline for computing
-    pairwise alignments between a query sequence and a database of
-    target sequences in parallel, mapping one database sequence to each
-    TPU vector lane (the TPU-native reimagining of Opal's
-    inter-sequence SIMD, ``README.md:26-28``).
+    One `Aligner` holds a scoring matrix and affine-gap parameters and
+    scores a query against every target of a database in a single
+    Pallas kernel dispatch, one database sequence per TPU vector lane
+    (the TPU re-imagining of Opal's inter-sequence SIMD,
+    ``README.md:26-28``).  Instances are stateless between calls and
+    safe to share across threads; searches take the database's read
+    lock for their duration.
 
     Attributes:
-        scoring_matrix (`~pyopal_tpu.ScoringMatrix`): The scoring
-            matrix to use for the alignments.
-        alphabet (`~pyopal_tpu.Alphabet`): The alphabet for encoding
-            sequences before alignment (derived from the matrix).
-        gap_open (`int`): The gap opening penalty :math:`G`.
-        gap_extend (`int`): The gap extension penalty :math:`E`.
-
-    Hint:
-        A gap of length :math:`N` will receive a penalty of
-        :math:`G + (N - 1)E`.
+        scoring_matrix (`~pyopal_tpu.ScoringMatrix`): The substitution
+            matrix scores are drawn from.
+        alphabet (`~pyopal_tpu.Alphabet`): Encoding alphabet, derived
+            from the matrix's column letters.
+        gap_open (`int`): Penalty :math:`G` charged when a gap opens.
+        gap_extend (`int`): Penalty :math:`E` for each extra gap
+            column, so a length-:math:`N` gap costs
+            :math:`G + (N - 1)E`.
 
     """
 

@@ -33,7 +33,7 @@ except ImportError:  # pragma: no cover - extension not built
 
 
 class Alphabet:
-    """A class for ordinal encoding of sequences.
+    """A fixed symbol set mapping letters to ordinal codes.
 
     Reference parity: ``pyopal.Alphabet`` (``lib.pyx:186-332``).
 
@@ -121,7 +121,7 @@ class Alphabet:
     # --- Encoding ----------------------------------------------------------
 
     def encode_into(self, sequence, encoded) -> None:
-        """Encode a sequence to ordinal-encoding into the given buffer."""
+        """Write the ordinal codes of ``sequence`` into ``buffer``."""
         seq = np.frombuffer(memoryview(sequence), dtype=np.uint8)
         out = np.frombuffer(memoryview(encoded), dtype=np.uint8)
         if seq.shape[0] != out.shape[0]:
@@ -129,7 +129,7 @@ class Alphabet:
         out[: seq.shape[0]] = self._encode_array(seq)
 
     def decode_into(self, encoded, sequence) -> None:
-        """Decode a sequence from ordinal-encoding into the given buffer."""
+        """Write the letters for the ordinal codes of ``sequence`` into ``buffer``."""
         enc = np.frombuffer(memoryview(encoded), dtype=np.uint8)
         out = np.frombuffer(memoryview(sequence), dtype=np.uint8)
         if enc.shape[0] != out.shape[0]:
@@ -162,7 +162,7 @@ class Alphabet:
         return self._letters[enc]
 
     def encode(self, sequence) -> bytes:
-        r"""Encode a sequence to an ordinal-encoded sequence.
+        r"""Return ``sequence`` as `bytes` of ordinal codes.
 
         Arguments:
             sequence (`str` or byte-like object): The sequence to encode.
@@ -184,7 +184,7 @@ class Alphabet:
         return self._encode_array(seq).tobytes()
 
     def decode(self, encoded) -> str:
-        r"""Decode an ordinal-encoded sequence using the alphabet.
+        r"""Return the letters (`str`) for `bytes` of ordinal codes.
 
         Example:
             >>> alphabet = Alphabet("ACGT")

@@ -91,17 +91,18 @@ class WriteLock:
 
 
 class BaseDatabase:
-    """The base class for views of database sequences.
+    """Abstract view over a collection of encoded target sequences.
 
     Subclasses must implement `get_size`, `get_lengths` and
     `get_encoded` to expose encoded sequences to `Aligner.align`
     (reference interface at ``lib.pyx:337-466``).
 
     Attributes:
-        alphabet (`~pyopal_tpu.Alphabet`): The alphabet used for
-            encoding the sequences stored in the database.
-        lock (`~pyopal_tpu.database.SharedMutex`): A read-write lock to
-            synchronize accesses to the database.
+        alphabet (`~pyopal_tpu.Alphabet`): Alphabet every stored
+            sequence is encoded with.
+        lock (`~pyopal_tpu.database.SharedMutex`): Guards mutation
+            against concurrent searches (readers share, writers
+            exclude).
 
     """
 
@@ -273,13 +274,13 @@ class Database(BaseDatabase):
             self._bump()
 
     def clear(self) -> None:
-        """Remove all sequences from the database."""
+        """Drop every sequence, leaving an empty database."""
         with self.lock.write:
             self._sequences.clear()
             self._bump()
 
     def extend(self, sequences) -> None:
-        """Extend the database by adding sequences from an iterable.
+        """Add every sequence of an iterable to the database.
 
         Example:
             >>> db = Database(["ATGC"])
@@ -292,7 +293,7 @@ class Database(BaseDatabase):
             self.append(sequence)
 
     def append(self, sequence) -> None:
-        """Append a single sequence at the end of the database.
+        """Add one sequence at the end of the database.
 
         Example:
             >>> db = Database(["ATGC", "TTCA"])
@@ -307,7 +308,7 @@ class Database(BaseDatabase):
             self._bump()
 
     def reverse(self) -> None:
-        """Reverse the database, in place.
+        """Reverse the order of the stored sequences, in place.
 
         Example:
             >>> db = Database(['ATGC', 'TTGC', 'CTGC'])
@@ -321,7 +322,7 @@ class Database(BaseDatabase):
             self._bump()
 
     def insert(self, index, sequence) -> None:
-        """Insert a sequence in the database at a given position.
+        """Insert a sequence before position ``index``.
 
         If the insertion index is out of bounds, the insertion will
         happen at either end of the database::
@@ -351,7 +352,7 @@ class Database(BaseDatabase):
     # --- Subset ---------------------------------------------------------------
 
     def mask(self, bitmask) -> "Database":
-        """Extract the subset of the database where the bitmask is `True`.
+        """Build a sub-database of the positions where ``bitmask`` is `True`.
 
         Raises:
             `IndexError`: When the bitmask has a different dimension.
@@ -381,7 +382,7 @@ class Database(BaseDatabase):
         return subdb
 
     def extract(self, indices) -> "Database":
-        """Extract a subset of the database using the given indices.
+        """Build a sub-database from the sequences at ``indices``, in order.
 
         Raises:
             `IndexError`: When ``indices`` contains an invalid index.

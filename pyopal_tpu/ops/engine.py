@@ -177,6 +177,44 @@ _Q8_LANES_BY_TIER = {64: 512, 128: 512, 256: 512, 512: 256}
 _Q8_LAUNCH_GROUPS = 8
 
 
+def plan_tier_launches(queries_enc, safe_pad):
+    """Plan kernel routing for a query batch, shared by the
+    single-device dispatcher and the mesh front-end
+    (`pyopal_tpu.parallel.align_arrays_sharded`).
+
+    Queries are grouped into cohorts by profile tier (padded query
+    length); within each tier, full groups of `pallas_q8.QB` queries
+    take the query-packed q8 kernel when the tier has a q8 lane route
+    and the matrix allows the padded-profile trick, and the remainder
+    takes the v2 ragged kernel.
+
+    Returns a list of ``(tier, lanes_q8, q8_groups, v2_idx)`` sorted by
+    tier: ``q8_groups`` is a list of QB-length lists of query indices
+    (empty when nothing routes to q8), ``v2_idx`` the leftover indices.
+    """
+    from . import pallas_q8 as q8
+    from . import pallas_ragged as pr
+
+    cohorts: dict = {}
+    for i, q in enumerate(queries_enc):
+        tier = pr.profile_qpad(max(len(q), 8))
+        cohorts.setdefault(tier, []).append(i)
+
+    plan = []
+    for tier, qidx in sorted(cohorts.items()):
+        lanes_q8 = _Q8_LANES_BY_TIER.get(tier) if safe_pad else None
+        q8_idx, v2_idx = [], qidx
+        if lanes_q8 is not None and len(qidx) >= q8.QB:
+            order = sorted(qidx, key=lambda i: -queries_enc[i].shape[0])
+            m = (len(order) // q8.QB) * q8.QB
+            q8_idx, v2_idx = order[:m], order[m:]
+        groups = [
+            q8_idx[k : k + q8.QB] for k in range(0, len(q8_idx), q8.QB)
+        ]
+        plan.append((tier, lanes_q8, groups, v2_idx))
+    return plan
+
+
 def _profiles_q8(queries_enc, matrix, groups, lanes):
     """Device-resident q8 profile stack (+qv/maxq), memoized like
     `_profiles_for_cohort`."""
@@ -234,27 +272,12 @@ def _search_batch_pallas(
             fp128 = packing.pack_database_slice_flat(database, start, end)
         return fp128
 
-    # cohorts of queries sharing a profile tier -> one launch each
-    cohorts: dict = {}
-    for i, q in enumerate(queries_enc):
-        tier = pr.profile_qpad(max(len(q), 8))
-        cohorts.setdefault(tier, []).append(i)
-
     outs = []  # device arrays, one per launch
     cohort_order = []  # query index per output row (-1 = padding slot)
-    for tier, qidx in sorted(cohorts.items()):
-        lanes_q8 = _Q8_LANES_BY_TIER.get(tier) if safe_pad else None
-        q8_idx, v2_idx = [], qidx
-        if lanes_q8 is not None and len(qidx) >= q8.QB:
-            order = sorted(qidx, key=lambda i: -queries_enc[i].shape[0])
-            m = (len(order) // q8.QB) * q8.QB
-            q8_idx, v2_idx = order[:m], order[m:]
-
-        if q8_idx:
-            groups = [
-                q8_idx[k : k + q8.QB]
-                for k in range(0, len(q8_idx), q8.QB)
-            ]
+    for tier, lanes_q8, groups, v2_idx in plan_tier_launches(
+        queries_enc, safe_pad
+    ):
+        if groups:
             fpw = packing.pack_database_slice_flat(
                 database, start, end, lanes=lanes_q8
             )
@@ -370,6 +393,34 @@ def _search_batch_xla(
     return scores, q_ends, t_ends
 
 
+#: fp32 represents every integer in (-2**24, 2**24) exactly; the Pallas
+#: kernels carry H/E in fp32, so any call whose DP values could leave
+#: that window must take the int32 XLA engine instead
+_FP32_EXACT_BOUND = 2**24
+
+
+def _fp32_exact_domain(
+    database, start, end, queries_enc, matrix, gap_open, gap_extend
+) -> bool:
+    """Whether every DP intermediate of this call fits the fp32
+    exact-integer window (the TPU analog of the reference's precision
+    escalation — ``/root/reference/src/pyopal/lib.pyx:1283-1289``:
+    narrow passes are an optimization that must never be silently
+    wrong, SURVEY.md section 7).
+
+    The bound is static and conservative: positive values are capped by
+    one match per aligned column, negative ones by a full gap chain
+    plus one maximal mismatch per column.
+    """
+    lengths = database.get_lengths()
+    t_max = int(max((lengths[i] for i in range(start, end)), default=0))
+    q_max = int(max((q.shape[0] for q in queries_enc), default=0))
+    m_max = int(np.abs(matrix).max(initial=0))
+    span = q_max + t_max
+    bound = span * m_max + gap_open + span * gap_extend
+    return bound < _FP32_EXACT_BOUND
+
+
 def search_scores_batch(
     database,
     start: int,
@@ -403,6 +454,9 @@ def search_scores_batch(
     use_pallas = (
         (_backend_kind() == "tpu" or _INTERPRET)
         and np.abs(matrix).max(initial=0) <= 256
+        and _fp32_exact_domain(
+            database, start, end, queries_enc, matrix, gap_open, gap_extend
+        )
     )
     if use_pallas:
         from . import pallas_ragged as pr

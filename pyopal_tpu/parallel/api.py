@@ -37,14 +37,18 @@ from .mesh import device_mesh
 __all__ = ["align_arrays_sharded"]
 
 
-def _cohorts_by_tier(queries_enc):
-    from ..ops import pallas_ragged as pr
-
-    cohorts: dict = {}
-    for i, q in enumerate(queries_enc):
-        tier = pr.profile_qpad(max(len(q), 8))
-        cohorts.setdefault(tier, []).append(i)
-    return cohorts
+def _pack_sharded_cached(database, seqs, n_shards, lanes):
+    """`pack_flat_sharded` memoized on the database mutation version
+    (same contract as `pyopal_tpu.ops.packing.pack_database_slice_flat`),
+    so repeat calls skip repacking and re-uploading the database."""
+    cache = getattr(database, "_pack_cache", None)
+    key = ("sharded", n_shards, lanes, database.get_version())
+    if cache is not None and key in cache:
+        return cache[key]
+    packed = sfm.pack_flat_sharded(seqs, n_shards, lanes=lanes)
+    if cache is not None:
+        cache[key] = packed
+    return packed
 
 
 def align_arrays_sharded(
@@ -129,12 +133,9 @@ def align_arrays_sharded(
     scores = np.zeros((nq, n), dtype=np.int32)
     q_ends = np.full((nq, n), -1, dtype=np.int32)
     t_ends = np.full((nq, n), -1, dtype=np.int32)
-    packs: dict = {}  # lane width -> ShardedFlat of the whole database
 
     def _pack(lanes):
-        if lanes not in packs:
-            packs[lanes] = sfm.pack_flat_sharded(seqs, n_shards, lanes=lanes)
-        return packs[lanes]
+        return _pack_sharded_cached(database, seqs, n_shards, lanes)
 
     def _store(qidx_rows, s, qe, te):
         for row, qi in qidx_rows:
@@ -143,21 +144,10 @@ def align_arrays_sharded(
                 q_ends[qi] = qe[row]
                 t_ends[qi] = te[row]
 
-    for tier, qidx in sorted(_cohorts_by_tier(queries_enc).items()):
-        lanes_q8 = (
-            engine._Q8_LANES_BY_TIER.get(tier) if safe_pad else None
-        )
-        q8_idx, v2_idx = [], qidx
-        if lanes_q8 is not None and len(qidx) >= q8.QB:
-            order = sorted(qidx, key=lambda i: -queries_enc[i].shape[0])
-            m = (len(order) // q8.QB) * q8.QB
-            q8_idx, v2_idx = order[:m], order[m:]
-
-        if q8_idx:
-            groups = [
-                q8_idx[k : k + q8.QB]
-                for k in range(0, len(q8_idx), q8.QB)
-            ]
+    for tier, lanes_q8, groups, v2_idx in engine.plan_tier_launches(
+        queries_enc, safe_pad
+    ):
+        if groups:
             profs, qv, maxq = q8.make_profiles_q8_host(
                 queries_enc, matrix, groups, lanes=lanes_q8
             )

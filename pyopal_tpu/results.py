@@ -31,7 +31,7 @@ _OP_FROM_SYMBOL = {c: i for i, c in enumerate(_ALIGN_SYMBOLS)}
 
 
 class ScoreResult:
-    """The results of a search in ``score`` mode."""
+    """Per-target hit carrying the alignment score (``score`` mode)."""
 
     __slots__ = ("_target_index", "_score")
 
@@ -56,13 +56,13 @@ class ScoreResult:
 
     @property
     def target_index(self):
-        """`int`: The index of the target in the database."""
+        """`int`: Position of the target in the searched database."""
         assert self._target_index >= 0
         return self._target_index
 
     @property
     def score(self):
-        """`int`: The score of the alignment."""
+        """`int`: Alignment score under the search parameters."""
         return self._score
 
 
@@ -97,7 +97,7 @@ def build_end_results(start, scores, q_ends, t_ends):
 
 
 class EndResult(ScoreResult):
-    """The results of a search in ``end`` mode."""
+    """Hit carrying score plus end coordinates (``end`` mode)."""
 
     __slots__ = ("_query_end", "_target_end")
 
@@ -125,7 +125,7 @@ class EndResult(ScoreResult):
 
     @property
     def query_end(self):
-        """`int`: The coordinate where the alignment ends in the query.
+        """`int`: Query coordinate of the last aligned pair.
 
         For an *empty* alignment — a local (``sw``) search in which no
         cell ever scores above zero — there is no end cell and the
@@ -138,7 +138,7 @@ class EndResult(ScoreResult):
 
     @property
     def target_end(self):
-        """`int`: The coordinate where the alignment ends in the target.
+        """`int`: Target coordinate of the last aligned pair.
 
         ``-1`` for empty alignments; see `query_end`.
         """
@@ -173,7 +173,7 @@ if _native_results is not None:
 
 
 class FullResult(EndResult):
-    """The results of a search in ``full`` mode."""
+    """Hit carrying the complete alignment (``full`` mode)."""
 
     __slots__ = (
         "_query_start",
@@ -242,25 +242,25 @@ class FullResult(EndResult):
 
     @property
     def query_start(self):
-        """`int`: The coordinate where the alignment starts in the query."""
+        """`int`: Query coordinate of the first aligned pair."""
         assert self._query_start >= 0
         return self._query_start
 
     @property
     def target_start(self):
-        """`int`: The coordinate where the alignment starts in the target."""
+        """`int`: Target coordinate of the first aligned pair."""
         assert self._target_start >= 0
         return self._target_start
 
     @property
     def query_length(self):
-        """`int`: The complete length of the query sequence."""
+        """`int`: Full (unaligned) query length."""
         assert self._query_length >= 0
         return self._query_length
 
     @property
     def target_length(self):
-        """`int`: The complete length of the target sequence."""
+        """`int`: Full (unaligned) target length."""
         assert self._target_length >= 0
         return self._target_length
 
@@ -270,7 +270,7 @@ class FullResult(EndResult):
         return "".join(_ALIGN_SYMBOLS[op] for op in self._ops)
 
     def cigar(self):
-        """Create a CIGAR string representing the alignment.
+        """Render the alignment as a SAM-style CIGAR string.
 
         Returns:
             `str`: A CIGAR string in SAM format describing the alignment.
@@ -304,7 +304,7 @@ class FullResult(EndResult):
         return "".join(chunks)
 
     def identity(self):
-        """Compute the identity of the alignment.
+        """Fraction of aligned columns that are exact matches.
 
         Returns:
             `float`: The identity of the alignment as a fraction
@@ -316,7 +316,7 @@ class FullResult(EndResult):
         return float(np.float32(matches) / np.float32(matches + mismatches))
 
     def coverage(self, reference="query"):
-        """Compute the coverage of the alignment.
+        """Fraction of a sequence spanned by the alignment.
 
         Arguments:
             reference (`str`): The reference sequence to take to compute

@@ -21,6 +21,7 @@ MODULES = [
     "pyopal_tpu.matrices",
     "pyopal_tpu.results",
     "pyopal_tpu.io",
+    "pyopal_tpu.parallel.api",
 ]
 
 

@@ -82,6 +82,60 @@ def test_dispatch_tier512_q8_lanes(db, monkeypatch):
         np.testing.assert_array_equal(a, b, err_msg=name)
 
 
+def test_fp32_domain_guard_routes_to_xla(db, monkeypatch):
+    """Calls whose DP values could leave fp32's exact-integer window
+    (+-2**24) must take the int32 XLA engine, not the fp32 Pallas
+    kernels — the narrow path is never silently wrong (reference
+    escalation semantics, lib.pyx:1283-1289)."""
+    rng = np.random.default_rng(21)
+    matrix = po.Aligner().scoring_matrix.int_data()
+    queries = _encode(db.alphabet, [_random_seq(rng, 30)])
+
+    calls = []
+    real_pallas = engine._search_batch_pallas
+    real_xla = engine._search_batch_xla
+    monkeypatch.setattr(
+        engine,
+        "_search_batch_pallas",
+        lambda *a, **k: calls.append("pallas") or real_pallas(*a, **k),
+    )
+    monkeypatch.setattr(
+        engine,
+        "_search_batch_xla",
+        lambda *a, **k: calls.append("xla") or real_xla(*a, **k),
+    )
+    monkeypatch.setattr(engine, "_INTERPRET", True)
+
+    # in-domain: rides Pallas
+    engine.search_scores_batch(
+        db, 0, len(db), queries, matrix, 3, 1, "nw", with_ends=True
+    )
+    assert calls == ["pallas"]
+
+    # a gap chain alone exceeds 2**24: must fall back to int32 XLA
+    calls.clear()
+    got = engine.search_scores_batch(
+        db, 0, len(db), queries, matrix, 2**25, 1, "nw", with_ends=True
+    )
+    assert calls == ["xla"]
+    ref = real_xla(
+        db, 0, len(db), queries, matrix, 2**25, 1, "nw", True
+    )
+    for name, a, b in zip(("scores", "q_ends", "t_ends"), got, ref):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_fp32_domain_bound_is_conservative(db):
+    """The static bound covers the stress envelope (35k residues at
+    |matrix|<=13) but trips on adversarial magnitude combinations."""
+    q = [np.zeros(35000, np.uint8)]
+    m13 = np.full((25, 25), 13, np.int32)
+    assert engine._fp32_exact_domain(db, 0, len(db), q, m13, 3, 1)
+    m256 = np.full((25, 25), 256, np.int32)
+    q2 = [np.zeros(70000, np.uint8)]
+    assert not engine._fp32_exact_domain(db, 0, len(db), q2, m256, 3, 1)
+
+
 def test_dispatch_with_slice_and_empty_query(db, monkeypatch):
     """Slices and empty queries route through the same bookkeeping."""
     rng = np.random.default_rng(9)

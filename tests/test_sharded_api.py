@@ -1,0 +1,164 @@
+"""`pyopal_tpu.parallel.align_arrays_sharded` on the 8-device CPU mesh.
+
+Sharding must never change scores (the reference pins the analogous
+invariant for thread-chunking: global target indexing at
+``/root/reference/src/pyopal/platform/pyx.in:67-69`` and thread-count
+invariance in ``/root/reference/src/pyopal/tests/test_align.py:9-41``).
+Every test compares the mesh path against the single-device
+`Aligner.align_arrays` reference on the same inputs.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import pyopal_tpu as po
+from pyopal_tpu.parallel import align_arrays_sharded
+
+AMINO = "ARNDCQEGHILKMFPSTWYV"
+
+
+def _random_db(n, lo, hi, seed):
+    rng = random.Random(seed)
+    return po.Database(
+        "".join(rng.choice(AMINO) for _ in range(rng.randint(lo, hi)))
+        for _ in range(n)
+    )
+
+
+def _random_queries(n, lo, hi, seed):
+    rng = random.Random(seed)
+    return [
+        "".join(rng.choice(AMINO) for _ in range(rng.randint(lo, hi)))
+        for _ in range(n)
+    ]
+
+
+def _reference(queries, db, **kw):
+    aligner = po.Aligner(
+        kw.get("scoring_matrix"),
+        gap_open=kw.get("gap_open", 3),
+        gap_extend=kw.get("gap_extend", 1),
+    )
+    return aligner.align_arrays(
+        queries,
+        db,
+        mode=kw.get("mode", "score"),
+        algorithm=kw.get("algorithm", "sw"),
+    )
+
+
+def _check(queries, db, **kw):
+    got = align_arrays_sharded(queries, db, **kw)
+    want = _reference(queries, db, **kw)
+    np.testing.assert_array_equal(got["scores"], want["scores"])
+    if kw.get("mode") == "end":
+        np.testing.assert_array_equal(
+            got["query_ends"], want["query_ends"]
+        )
+        np.testing.assert_array_equal(
+            got["target_ends"], want["target_ends"]
+        )
+
+
+def test_import_line_from_docstring():
+    # the documented import path must work (module docstring example)
+    from pyopal_tpu.parallel import align_arrays_sharded as f
+
+    assert f is align_arrays_sharded
+
+
+def test_toy_db_scores():
+    db = po.Database(["AACCGCTG", "ATGCGCT", "TTATTACG"])
+    out = align_arrays_sharded(["ACCTG"], db, gap_open=2)
+    assert out["scores"][0].tolist() == [41, 31, 23]
+
+
+def test_v2_remainder_cohort():
+    # 3 queries of one tier: below QB=8, all take the v2 remainder path
+    db = _random_db(40, 10, 60, seed=1)
+    queries = _random_queries(3, 12, 40, seed=2)
+    _check(queries, db)
+
+
+def test_q8_full_groups():
+    # 16 same-tier queries: two full q8 groups, no remainder
+    db = _random_db(50, 10, 80, seed=3)
+    queries = _random_queries(16, 30, 60, seed=4)
+    _check(queries, db)
+
+
+def test_q8_groups_plus_remainder_end_mode():
+    # 11 same-tier queries: one q8 group + 3 v2 remainders, end mode
+    db = _random_db(45, 8, 70, seed=5)
+    queries = _random_queries(11, 30, 60, seed=6)
+    _check(queries, db, mode="end")
+
+
+def test_mixed_tiers():
+    # queries spanning two profile tiers dispatch as separate cohorts
+    db = _random_db(30, 10, 50, seed=7)
+    queries = _random_queries(5, 10, 50, seed=8) + _random_queries(
+        9, 70, 120, seed=9
+    )
+    _check(queries, db, mode="end")
+
+
+@pytest.mark.parametrize("algorithm", ["nw", "hw", "ov", "sw"])
+def test_algorithms(algorithm):
+    db = _random_db(25, 10, 40, seed=10)
+    queries = _random_queries(4, 15, 30, seed=11)
+    _check(queries, db, algorithm=algorithm, mode="end")
+
+
+def test_database_slice():
+    # a sliced sub-database shards and scores like any database
+    db = _random_db(40, 10, 60, seed=12)
+    sub = db[5:29]
+    queries = _random_queries(9, 20, 50, seed=13)
+    _check(queries, sub, mode="end")
+
+
+def test_small_db_fewer_targets_than_shards():
+    # 3 targets over an 8-device mesh: most shards run empty layouts
+    db = po.Database(["AACCGCTG", "ATGCGCT", "TTATTACG"])
+    queries = _random_queries(9, 10, 30, seed=14)
+    _check(queries, db, mode="end")
+
+
+def test_empty_inputs():
+    db = _random_db(10, 10, 20, seed=15)
+    out = align_arrays_sharded([], db)
+    assert out["scores"].shape == (0, 10)
+    empty = po.Database([])
+    out = align_arrays_sharded(["ACDEF"], empty, mode="end")
+    assert out["scores"].shape == (1, 0)
+    assert out["query_ends"].shape == (1, 0)
+
+
+def test_repacking_cached_across_calls():
+    # repeat calls must reuse the sharded pack (version-keyed cache)
+    db = _random_db(20, 10, 30, seed=16)
+    queries = _random_queries(2, 10, 20, seed=17)
+    align_arrays_sharded(queries, db)
+    cached = [k for k in db._pack_cache if k[0] == "sharded"]
+    assert cached
+    before = {k: id(v) for k, v in db._pack_cache.items()}
+    align_arrays_sharded(queries, db)
+    after = {k: id(v) for k, v in db._pack_cache.items()}
+    assert before == after
+    # mutation invalidates: version key changes
+    db.append("ACDEF")
+    align_arrays_sharded(queries, db)
+    assert all(
+        k not in db._pack_cache for k in before if k[0] == "sharded"
+    )
+
+
+def test_validation_errors():
+    db = _random_db(5, 10, 20, seed=18)
+    with pytest.raises(ValueError):
+        align_arrays_sharded(["ACDEF"], db, mode="full")
+    with pytest.raises(ValueError):
+        align_arrays_sharded(["ACDEF"], db, algorithm="bogus")
