@@ -46,7 +46,9 @@ def main():
     seqs = build_database(rng)
     # pipelining depth: the device link costs a fixed ~30-40 ms
     # (dispatch + one readback) per batched call; 64 queries amortize
-    # it to <10% of compute (8 full q8 groups, one compiled shape)
+    # it to <10% of compute (8 full q8 groups, one compiled shape; 128
+    # was tried and pushes the whole bench past the driver timeout for
+    # a ~1% gain)
     n_queries = 64
     queries = [q[:256] for q in build_database(rng, n=n_queries, mean_len=256)]
 
@@ -75,6 +77,33 @@ def main():
     dt_single = timed(
         lambda: aligner.align(queries[0], db, mode="score", algorithm="sw")
     )
+
+    # device-side marginal cost of that call (K dispatches, one final
+    # readback): the end-to-end figure is floored by the tunneled
+    # link's ~28 ms base RTT (experiments/bench_single_phase.py);
+    # directly-attached hardware sees roughly this marginal time
+    from pyopal_tpu.ops import engine, packing
+    from pyopal_tpu.ops import pallas_ragged as pr
+
+    q_enc = np.frombuffer(db.alphabet.encode(queries[0]), dtype=np.uint8)
+    matrix = aligner.scoring_matrix.int_data()
+    fp = packing.pack_database_slice_flat(db, 0, len(db))
+    flat_t, lengths, bos, cos, los, inv_pos = engine._flat_device(fp)
+    profs, qlens = engine._profiles_for_cohort([q_enc], matrix)
+
+    def _single_chain(K):
+        for _ in range(K):
+            s, qe, te = pr.search_flat(
+                profs, qlens, flat_t, lengths, bos, cos, los,
+                3, 1, "sw", False, chunk=fp.chunk, safe_pad=True,
+            )
+            out = engine._assemble_flat(inv_pos, s, qe, te, with_ends=False)
+        np.asarray(out)
+
+    _single_chain(1)  # warm
+    t1 = timed(lambda: _single_chain(1))
+    t9 = timed(lambda: _single_chain(9))
+    dt_single_dev = (t9 - t1) / 8
 
     # pipelined throughput: all queries dispatched, one readback
     dt_batch = (
@@ -113,6 +142,12 @@ def main():
                     "single_query_ms": round(dt_single * 1e3, 2),
                     "single_query_gcups": round(
                         cells_per_query / dt_single / 1e9, 2
+                    ),
+                    "single_query_device_ms": round(
+                        dt_single_dev * 1e3, 2
+                    ),
+                    "single_query_device_gcups": round(
+                        cells_per_query / dt_single_dev / 1e9, 2
                     ),
                     "db_residues": int(total_residues),
                     "query_len": 256,

@@ -102,6 +102,18 @@ def main():
     )
     lines.append(f"| `sw` align_top_k(k=100), end-to-end | {dt * 1e3:.1f} ms | — |")
 
+    # 3c. whole-database full mode: realign EVERY target — a
+    # reference-parity call (mode="full" is first-class, not only
+    # top-k; /root/reference/src/pyopal/lib.pyx:1278-1282)
+    full_all = aligner.align(query, db, mode="full", algorithm="sw")  # warm
+    assert len(full_all) == len(db) and all(f.cigar() for f in full_all[:50])
+    dt = timed(
+        lambda: aligner.align(query, db, mode="full", algorithm="sw")
+    )
+    lines.append(
+        f"| `sw` full, whole DB (10k traceback walks) | {dt * 1e3:.0f} ms | — |"
+    )
+
     # 4. pipelined multi-query throughput (columnar API)
     queries = [q[:256] for q in build_database(rng, n=16, mean_len=256)]
     aligner.align_arrays(queries, db, mode="score", algorithm="sw")

@@ -296,6 +296,10 @@ _TABLES = {
 }
 
 
+#: runtime catalog of user-registered matrices (`ScoringMatrix.register`)
+_REGISTERED: dict = {}
+
+
 def _parse(table: str) -> np.ndarray:
     rows = [
         [float(x) for x in line.split()]
@@ -345,12 +349,116 @@ class ScoringMatrix:
 
         """
         key = name.upper()
+        if key in _REGISTERED:
+            return _REGISTERED[key]
         if key not in _TABLES:
             raise ValueError(
                 f"unknown matrix name: {name!r} "
-                f"(available: {', '.join(sorted(_TABLES))})"
+                f"(available: {', '.join(sorted(_TABLES))}; "
+                f"load others with ScoringMatrix.from_file and add them "
+                f"to the catalog with ScoringMatrix.register)"
             )
         return cls(_parse(_TABLES[key]), _PROTEIN_ALPHABET, name=key)
+
+    @classmethod
+    def from_text(cls, text: str, name=None) -> "ScoringMatrix":
+        """Parse a matrix in the standard NCBI/EMBOSS text format.
+
+        The format used by BLAST ``-matrix`` files, EMBOSS data files
+        and MMseqs2 ``.out`` matrices (e.g. ``VTML80.out``): ``#``
+        comment lines, a header row of symbols, then one row per
+        symbol, each led by its letter.  Asymmetric row/column symbol
+        orders are rejected; the row-letter column is optional.
+
+        Example:
+            >>> m = ScoringMatrix.from_text('''
+            ...    A  C
+            ... A  1 -2
+            ... C -2  1
+            ... ''')
+            >>> m.alphabet
+            'AC'
+
+        """
+        lines = [
+            ln
+            for ln in (raw.strip() for raw in text.splitlines())
+            if ln and not ln.startswith("#")
+        ]
+        if not lines:
+            raise ValueError("empty matrix text")
+        header = lines[0].split()
+        if any(len(tok) != 1 or tok.isdigit() for tok in header):
+            raise ValueError(
+                "matrix text must start with a symbol header row"
+            )
+        alphabet = "".join(header)
+        n = len(header)
+        rows = []
+        row_letters = []
+        for ln in lines[1:]:
+            toks = ln.split()
+            if len(toks) == n + 1:
+                row_letters.append(toks[0])
+                toks = toks[1:]
+            elif len(toks) != n:
+                raise ValueError(f"matrix row has {len(toks)} fields, expected {n}")
+            rows.append([float(t) for t in toks])
+        if row_letters and "".join(row_letters) != alphabet:
+            raise ValueError(
+                "row symbols do not match the header symbol order"
+            )
+        if len(rows) != n:
+            raise ValueError(
+                f"matrix has {len(rows)} rows for {n} symbols"
+            )
+        return cls(np.asarray(rows, np.float32), alphabet, name=name)
+
+    @classmethod
+    def from_file(cls, path) -> "ScoringMatrix":
+        """Load a matrix file in the NCBI/EMBOSS text format.
+
+        The migration path for named matrices not bundled here (the
+        reference rides the external ``scoring-matrices`` catalog,
+        ``/root/reference/pyproject.toml:44-46``): download the table
+        (e.g. MMseqs2's ``VTML160.out``) and load it directly, or
+        `register` it to make `from_name` find it.
+        """
+        import os
+
+        with open(path) as f:
+            text = f.read()
+        name = os.path.splitext(os.path.basename(path))[0].upper()
+        return cls.from_text(text, name=name)
+
+    @classmethod
+    def register(cls, matrix: "ScoringMatrix", name=None) -> None:
+        """Add ``matrix`` to the runtime catalog under ``name``.
+
+        Later `from_name` calls (including ``Aligner(scoring_matrix=
+        "<name>")``) resolve it; bundled names cannot be shadowed.
+        """
+        key = (name or matrix.name or "").upper()
+        if not key:
+            raise ValueError("matrix has no name to register under")
+        if key in _TABLES:
+            raise ValueError(f"cannot shadow the bundled matrix {key!r}")
+        _REGISTERED[key] = ScoringMatrix(
+            matrix.data, matrix.alphabet, name=key
+        )
+
+    def to_text(self) -> str:
+        """Render the matrix in the NCBI/EMBOSS text format
+        (round-trips through `from_text`)."""
+        width = max(
+            4, max(len(f"{v:g}") for v in self._data.reshape(-1)) + 1
+        )
+        out = ["".join(f"{c:>{width}}" for c in self._alphabet)]
+        for letter, row in zip(self._alphabet, self._data):
+            out.append(
+                letter + "".join(f"{v:>{width}g}" for v in row)[1:]
+            )
+        return "\n".join(out) + "\n"
 
     @classmethod
     def from_match_mismatch(

@@ -86,6 +86,69 @@ def _flat_device(fp: packing.FlatPacked):
 # --- on-device result assembly ------------------------------------------------
 
 
+@jax.jit
+def _pack_rows_i16(x):
+    """Pack row pairs of an int32 array into one int32 plane: row
+    ``2k`` in the low 16 bits, row ``2k+1`` in the high.
+
+    The tunneled device link moves ~33 MB/s regardless of content or
+    thread count (experiments/probe_readback_*.py), so halving readback
+    *bytes* halves the dominant e2e term.  Rows pair on the major axis
+    — three elementwise int32 ops, no relayout (the lane-dim bitcast
+    variant measured slower, DEVNOTES).  Callers must guarantee every
+    value fits int16 (see `_pack16_domain`).
+    """
+    if x.shape[0] % 2:
+        x = jnp.concatenate(
+            [x, jnp.zeros((1,) + x.shape[1:], x.dtype)], axis=0
+        )
+    return (x[0::2] & 0xFFFF) | (x[1::2] << 16)
+
+
+def _unpack_rows_i16(packed: np.ndarray, rows: int) -> np.ndarray:
+    """Host inverse of `_pack_rows_i16` (sign-extending both halves)."""
+    lo = (packed & 0xFFFF).astype(np.int16).astype(np.int32)
+    hi = (packed >> 16).astype(np.int32)  # arithmetic shift
+    out = np.empty((packed.shape[0] * 2,) + packed.shape[1:], np.int32)
+    out[0::2] = lo
+    out[1::2] = hi
+    return out[:rows]
+
+
+def _slice_maxlen(database, start, end) -> int:
+    """Longest target in ``database[start:end)``, memoized on the
+    database mutation version (the O(n) scan costs ~2 ms on a 12k-seq
+    database — too much for the single-query latency path)."""
+    cache_d = getattr(database, "_pack_cache", None)
+    key = ("tmax", database.get_version(), start, end)
+    if cache_d is not None and key in cache_d:
+        return cache_d[key]
+    lengths = database.get_lengths()
+    t_max = int(max((lengths[i] for i in range(start, end)), default=0))
+    if cache_d is not None:
+        cache_d[key] = t_max
+    return t_max
+
+
+def _pack16_domain(database, start, end, queries_enc, matrix, go, ge) -> bool:
+    """Whether every readback value (scores and end coordinates) of
+    this call provably fits int16.
+
+    Unlike `_fp32_exact_domain` (which must bound every DP
+    *intermediate*), only the FINAL scores matter here: the optimum is
+    at least the all-diagonal-then-gap path (``>= -(min * m_max + go +
+    span * ge)``) and at most one best match per aligned column
+    (``<= min * m_max``).
+    """
+    t_max = _slice_maxlen(database, start, end)
+    q_max = int(max((q.shape[0] for q in queries_enc), default=0))
+    m_max = int(np.abs(matrix).max(initial=0))
+    bound = (
+        min(q_max, t_max) * m_max + go + (q_max + t_max) * ge
+    )
+    return bound < 2**15 and t_max < 2**15
+
+
 @partial(jax.jit, static_argnames=("with_ends",))
 def _assemble_flat(inv_pos, s, qe, te, with_ends):
     """Reorder ragged-kernel outputs ``(n_q, n_blocks, LANES)`` into
@@ -343,11 +406,19 @@ def _search_batch_pallas(
             )
             cohort_order.extend(v2_idx)
 
-    # single readback: device-side concatenation + one transfer.
-    # (int16-packed and bitcast-compressed readbacks were measured
-    # slower on the tunneled dev link — see DEVNOTES.md; transfer
-    # cost there is dominated by neither bytes nor element count)
-    stacked = np.asarray(jnp.concatenate(outs, axis=0))
+    # single readback: device-side concatenation + one transfer.  When
+    # every value provably fits int16, row pairs pack into one int32
+    # plane first — the link is bytes-bound at ~33 MB/s, so this halves
+    # the dominant term.  (Lane-dim bitcast packing measured slower —
+    # it needs a relayout; the row-pair pack is three elementwise ops.)
+    dev = jnp.concatenate(outs, axis=0)
+    if _pack16_domain(
+        database, start, end, queries_enc, matrix, go, ge
+    ):
+        rows = dev.shape[0]
+        stacked = _unpack_rows_i16(np.asarray(_pack_rows_i16(dev)), rows)
+    else:
+        stacked = np.asarray(dev)
 
     scores = np.zeros((nq, n), dtype=np.int32)
     q_ends = np.full((nq, n), -1, dtype=np.int32)
@@ -412,8 +483,7 @@ def _fp32_exact_domain(
     one match per aligned column, negative ones by a full gap chain
     plus one maximal mismatch per column.
     """
-    lengths = database.get_lengths()
-    t_max = int(max((lengths[i] for i in range(start, end)), default=0))
+    t_max = _slice_maxlen(database, start, end)
     q_max = int(max((q.shape[0] for q in queries_enc), default=0))
     m_max = int(np.abs(matrix).max(initial=0))
     span = q_max + t_max

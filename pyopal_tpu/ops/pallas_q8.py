@@ -277,16 +277,26 @@ def _q8_kernel(
                 h_in, e_in = h_new, e_new
 
                 if spec.track_all_cells:  # sw
-                    upd = h_new > new_bests[k]
-                    new_bests[k] = jnp.where(upd, h_new, new_bests[k])
                     if with_ends:
+                        upd = h_new > new_bests[k]
+                        new_bests[k] = jnp.where(upd, h_new, new_bests[k])
                         new_bis[k] = jnp.where(upd, i, new_bis[k])
                         new_bjs[k] = jnp.where(upd, j0 + k, new_bjs[k])
+                    else:
+                        # score-only: plain max (no end bookkeeping);
+                        # saves one vector op in the hottest loop
+                        new_bests[k] = jnp.maximum(new_bests[k], h_new)
                 if spec.track_last_row:  # hw / ov
-                    upd = (qlast_rows == i) & (h_new > new_bests[k])
-                    new_bests[k] = jnp.where(upd, h_new, new_bests[k])
                     if with_ends:
+                        upd = (qlast_rows == i) & (h_new > new_bests[k])
+                        new_bests[k] = jnp.where(upd, h_new, new_bests[k])
                         new_bjs[k] = jnp.where(upd, j0 + k, new_bjs[k])
+                    else:
+                        new_bests[k] = jnp.where(
+                            qlast_rows == i,
+                            jnp.maximum(new_bests[k], h_new),
+                            new_bests[k],
+                        )
                 # cap/ci stay shared across the group: at most one
                 # column per lane satisfies ``j == len-1``, so no
                 # inter-column ties can arise

@@ -81,6 +81,18 @@ class TestContainers(unittest.TestCase):
         self.assertEqual(e.query_end, 5)
         self.assertEqual(e, pickle.loads(pickle.dumps(e)))
 
+    def test_scoring_matrix_text_round_trip(self):
+        m = pyopal_tpu.ScoringMatrix.from_name("BLOSUM50")
+        again = pyopal_tpu.ScoringMatrix.from_text(m.to_text())
+        self.assertEqual(again.alphabet, m.alphabet)
+        self.assertEqual(again, pyopal_tpu.ScoringMatrix(m.data, m.alphabet))
+
+    def test_parallel_import_surface(self):
+        from pyopal_tpu.parallel import align_arrays_sharded, device_mesh
+
+        self.assertTrue(callable(align_arrays_sharded))
+        self.assertTrue(callable(device_mesh))
+
 
 if __name__ == "__main__":
     unittest.main()

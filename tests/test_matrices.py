@@ -99,3 +99,75 @@ def test_non_integer():
     assert not m.is_integer()
     with pytest.raises(ValueError):
         m.int_data()
+
+
+class TestMatrixText:
+    """NCBI/EMBOSS text-format parsing, rendering and registration."""
+
+    def test_from_text_ncbi_format(self):
+        text = """# comment line
+   A  R  N
+A  4 -1 -2
+R -1  5  0
+N -2  0  6
+"""
+        m = ScoringMatrix.from_text(text)
+        assert m.alphabet == "ARN"
+        assert m.data[1, 1] == 5
+        assert m.is_integer() and m.is_symmetric()
+
+    def test_from_text_no_row_letters(self):
+        m = ScoringMatrix.from_text("A C\n1 -2\n-2 1\n")
+        assert m.alphabet == "AC"
+        assert m.data[0, 1] == -2
+
+    def test_from_text_row_order_mismatch(self):
+        with pytest.raises(ValueError):
+            ScoringMatrix.from_text(" A C\nC 1 2\nA 2 1\n")
+
+    def test_from_text_bad_shapes(self):
+        with pytest.raises(ValueError):
+            ScoringMatrix.from_text("")
+        with pytest.raises(ValueError):
+            ScoringMatrix.from_text(" A C\nA 1 2 3\nC 1 2\n")
+        with pytest.raises(ValueError):
+            ScoringMatrix.from_text(" A C\nA 1 2\n")
+
+    def test_to_text_round_trip(self):
+        for name in ("BLOSUM50", "VTML80", "PAM250"):
+            m = ScoringMatrix.from_name(name)
+            again = ScoringMatrix.from_text(m.to_text(), name=name)
+            assert again == m
+
+    def test_from_file_and_register(self, tmp_path):
+        m = ScoringMatrix.from_name("BLOSUM62")
+        path = tmp_path / "vtml160.out"
+        path.write_text(m.to_text())
+        loaded = ScoringMatrix.from_file(path)
+        assert loaded.name == "VTML160"
+        assert loaded == m
+        ScoringMatrix.register(loaded)
+        try:
+            assert ScoringMatrix.from_name("vtml160") == m
+            # registered matrices drive the aligner end to end
+            import pyopal_tpu as po
+
+            hits = po.Aligner("VTML160").align(
+                "ACCTCG", po.Database(["AACCGCTG"]), algorithm="nw"
+            )
+            assert len(hits) == 1
+        finally:
+            from pyopal_tpu import matrices
+
+            matrices._REGISTERED.pop("VTML160", None)
+
+    def test_register_cannot_shadow_bundled(self):
+        m = ScoringMatrix.from_name("BLOSUM62")
+        with pytest.raises(ValueError):
+            ScoringMatrix.register(m, name="BLOSUM50")
+        with pytest.raises(ValueError):
+            ScoringMatrix.register(ScoringMatrix(m.data, m.alphabet))
+
+    def test_from_name_error_mentions_from_file(self):
+        with pytest.raises(ValueError, match="from_file"):
+            ScoringMatrix.from_name("VTML999")

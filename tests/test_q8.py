@@ -101,3 +101,22 @@ def test_q8_tie_breaking_low_complexity():
                     qi,
                     ti,
                 )
+
+
+@pytest.mark.parametrize("algo", ["nw", "hw", "ov", "sw"])
+def test_q8_score_only_matches_naive(algo):
+    """Score-only mode takes leaner tracking (plain max, no end
+    bookkeeping) — pin it against the oracle separately."""
+    rng = np.random.default_rng(hash(("so", algo)) % 2**32)
+    queries = [
+        rng.integers(0, 24, L).astype(np.uint8)
+        for L in [13, 1, 40, 64, 7, 66, 29, 55, 21]
+    ]
+    lens = [0, 1, 63, 64, 65, 128, 129, 40, 90, 17]
+    seqs = [rng.integers(0, 24, L).astype(np.uint8) for L in lens]
+    out = _run_q8(queries, seqs, 3, 1, algo, False)
+    for qi, q in enumerate(queries):
+        sc, _, _ = out[qi]
+        for ti, t in enumerate(seqs):
+            ns, _, _ = naive.score_end(q, t, S, 3, 1, algo)
+            assert ns == sc[ti], (algo, qi, ti)
