@@ -630,10 +630,14 @@ def _search_long_pallas(
         chunk=fp.chunk,
     )
     flatpos = np.asarray(fp.inv_pos)
-    s = np.asarray(s).reshape(-1)[flatpos]
-    qe = np.asarray(qe).reshape(-1)[flatpos]
-    te = np.asarray(te).reshape(-1)[flatpos]
-    return s, qe, te
+    # one readback for all three planes (a separate np.asarray each
+    # would pay the link's ~28 ms base RTT three times)
+    stacked = np.asarray(
+        jnp.stack(
+            [s.reshape(-1), qe.reshape(-1), te.reshape(-1)], axis=0
+        )
+    )[:, flatpos]
+    return stacked[0], stacked[1], stacked[2]
 
 
 def search_scores(

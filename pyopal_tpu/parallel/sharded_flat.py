@@ -196,15 +196,15 @@ def sharded_search_flat(
     qlens_r = put(qlens, P(None))
 
     s, qe, te = fn(profs_r, qlens_r, flat_t, lengths, bos, cos, los)
-    # (n_shards, n_q, nblk_max, LANES) -> global target order
-    s = np.asarray(s)
-    qe = np.asarray(qe)
-    te = np.asarray(te)
+    # (n_shards, n_q, nblk_max, LANES) -> global target order; one
+    # gathered readback for all three planes (separate np.asarray
+    # calls pay the host-link base RTT three times)
+    stacked = np.asarray(jnp.stack([s, qe, te], axis=0))
     flatpos = sf.inv_shard * (nblk_max * LANES) + sf.inv_pos
-    out_s = s.transpose(1, 0, 2, 3).reshape(n_q, -1)[:, flatpos]
-    out_qe = qe.transpose(1, 0, 2, 3).reshape(n_q, -1)[:, flatpos]
-    out_te = te.transpose(1, 0, 2, 3).reshape(n_q, -1)[:, flatpos]
-    return out_s, out_qe, out_te
+    out = stacked.transpose(0, 2, 1, 3, 4).reshape(3, n_q, -1)[
+        :, :, flatpos
+    ]
+    return out[0], out[1], out[2]
 
 
 def sharded_search_flat_q8(
@@ -290,13 +290,11 @@ def sharded_search_flat_q8(
     maxq_r = put(maxq, P(None))
 
     s, qe, te = fn(profs_r, qv_r, maxq_r, flat_t, lengths, bos, cos, los)
-    # (n_shards, n_g, nblk_max, QB, lanes) -> (n_g*QB, global target)
+    # (n_shards, n_g, nblk_max, QB, lanes) -> (n_g*QB, global target);
+    # one gathered readback for all three planes
+    stacked = np.asarray(jnp.stack([s, qe, te], axis=0))
     flatpos = sf.inv_shard * (nblk_max * lanes) + sf.inv_pos
-
-    def assemble(x):
-        x = np.asarray(x)
-        return x.transpose(1, 3, 0, 2, 4).reshape(n_g * q8.QB, -1)[
-            :, flatpos
-        ]
-
-    return assemble(s), assemble(qe), assemble(te)
+    out = stacked.transpose(0, 2, 4, 1, 3, 5).reshape(
+        3, n_g * q8.QB, -1
+    )[:, :, flatpos]
+    return out[0], out[1], out[2]

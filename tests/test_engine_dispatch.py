@@ -136,6 +136,30 @@ def test_fp32_domain_bound_is_conservative(db):
     assert not engine._fp32_exact_domain(db, 0, len(db), q2, m256, 3, 1)
 
 
+def test_dispatch_long_query_fallback(db, monkeypatch):
+    """Queries beyond the ragged tier route through the segmented
+    kernel (`engine._search_long_pallas`), whose single stacked
+    readback must land in the same global order."""
+    from pyopal_tpu.ops import pallas_ragged as pr
+    from pyopal_tpu.ops import pallas_ragged_long as prl
+
+    rng = np.random.default_rng(17)
+    matrix = po.Aligner().scoring_matrix.int_data()
+    queries = _encode(db.alphabet, [_random_seq(rng, 70)])
+
+    ref = engine.search_scores_batch(
+        db, 0, len(db), queries, matrix, 3, 1, "sw", with_ends=True
+    )
+    monkeypatch.setattr(engine, "_INTERPRET", True)
+    monkeypatch.setattr(prl, "QSEG", 32)  # force 3 segments
+    monkeypatch.setattr(pr, "supports", lambda *a, **k: False)
+    got = engine.search_scores_batch(
+        db, 0, len(db), queries, matrix, 3, 1, "sw", with_ends=True
+    )
+    for name, a, b in zip(("scores", "q_ends", "t_ends"), got, ref):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
 def test_dispatch_with_slice_and_empty_query(db, monkeypatch):
     """Slices and empty queries route through the same bookkeeping."""
     rng = np.random.default_rng(9)
@@ -157,3 +181,16 @@ def test_dispatch_with_slice_and_empty_query(db, monkeypatch):
     )
     for name, a, b in zip(("scores", "q_ends", "t_ends"), got, ref):
         np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+def test_pack_rows_i16_round_trip():
+    """Device row-pair packing and host unpack are exact inverses for
+    the full int16 range, odd row counts, and 3-plane (ends) layouts."""
+    rng = np.random.default_rng(4)
+    for shape in ((1, 7), (2, 5), (5, 9), (4, 3, 6)):
+        x = rng.integers(-(2**15), 2**15, shape).astype(np.int32)
+        x.reshape(-1)[:4] = (-(2**15), 2**15 - 1, -1, 0)
+        packed = np.asarray(engine._pack_rows_i16(x))
+        assert packed.shape[0] == (shape[0] + 1) // 2
+        out = engine._unpack_rows_i16(packed, shape[0])
+        np.testing.assert_array_equal(out, x)
