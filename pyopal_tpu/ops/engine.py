@@ -146,7 +146,9 @@ def _pack16_domain(database, start, end, queries_enc, matrix, go, ge) -> bool:
     bound = (
         min(q_max, t_max) * m_max + go + (q_max + t_max) * ge
     )
-    return bound < 2**15 and t_max < 2**15
+    # q_max/t_max guards cover the end coordinates (ends mode), which
+    # are not bounded by the score bound when gap_extend == 0
+    return bound < 2**15 and t_max < 2**15 and q_max < 2**15
 
 
 @partial(jax.jit, static_argnames=("with_ends",))
@@ -316,7 +318,12 @@ def _search_batch_pallas(
     Full groups of `pallas_q8.QB` same-tier queries take the
     query-packed q8 kernel (scan-free, fastest); leftovers and tiers
     beyond its VMEM ceiling take the v2 ragged kernel.  Results are
-    assembled into global target order on device; one readback total.
+    assembled into global target order on device, then each launch's
+    block starts streaming to the host immediately
+    (``copy_to_host_async``) so transfers overlap later launches'
+    compute — only the last block's transfer is exposed
+    (experiments/probe_readback_overlap.py: 772 ms vs 951 ms for a
+    stacked end readback on 3 MB / 4 launches).
     """
     from . import pallas_q8 as q8
     from . import pallas_ragged as pr
@@ -335,8 +342,24 @@ def _search_batch_pallas(
             fp128 = packing.pack_database_slice_flat(database, start, end)
         return fp128
 
-    outs = []  # device arrays, one per launch
+    pack16 = _pack16_domain(
+        database, start, end, queries_enc, matrix, go, ge
+    )
+    launches = []  # (device array, rows, row→query-index list)
     cohort_order = []  # query index per output row (-1 = padding slot)
+
+    def _emit(dev_out, order):
+        # per-launch i16 row-pair pack (halves wire bytes when every
+        # value provably fits int16) + immediate async D2H
+        if pack16:
+            dev_out = _pack_rows_i16(dev_out)
+        try:
+            dev_out.copy_to_host_async()
+        except AttributeError:  # interpret-mode / tracer outputs
+            pass
+        launches.append((dev_out, len(order), order))
+        cohort_order.extend(order)
+
     for tier, lanes_q8, groups, v2_idx in plan_tier_launches(
         queries_enc, safe_pad
     ):
@@ -370,13 +393,12 @@ def _search_batch_pallas(
                     interpret=_INTERPRET,
                     chunk=fpw.chunk,
                 )
-                outs.append(
+                _emit(
                     _assemble_flat_q8(
                         inv_pos, s, qe, te, with_ends=with_ends
-                    )
+                    ),
+                    [qi for g in gs for qi in g],
                 )
-                for g in gs:
-                    cohort_order.extend(g)
 
         if v2_idx:
             cohort = [queries_enc[i] for i in v2_idx]
@@ -401,37 +423,30 @@ def _search_batch_pallas(
                 # alphabet leaves profile column 31 unused
                 safe_pad=safe_pad,
             )
-            outs.append(
-                _assemble_flat(inv_pos, s, qe, te, with_ends=with_ends)
+            _emit(
+                _assemble_flat(inv_pos, s, qe, te, with_ends=with_ends),
+                list(v2_idx),
             )
-            cohort_order.extend(v2_idx)
 
-    # single readback: device-side concatenation + one transfer.  When
-    # every value provably fits int16, row pairs pack into one int32
-    # plane first — the link is bytes-bound at ~33 MB/s, so this halves
-    # the dominant term.  (Lane-dim bitcast packing measured slower —
-    # it needs a relayout; the row-pair pack is three elementwise ops.)
-    dev = jnp.concatenate(outs, axis=0)
-    if _pack16_domain(
-        database, start, end, queries_enc, matrix, go, ge
-    ):
-        rows = dev.shape[0]
-        stacked = _unpack_rows_i16(np.asarray(_pack_rows_i16(dev)), rows)
-    else:
-        stacked = np.asarray(dev)
-
+    # gather: every block but the last already transferred during
+    # compute; ``np.asarray`` per block just waits on its copy
     scores = np.zeros((nq, n), dtype=np.int32)
     q_ends = np.full((nq, n), -1, dtype=np.int32)
     t_ends = np.full((nq, n), -1, dtype=np.int32)
-    for pos, qi in enumerate(cohort_order):
-        if qi < 0:
-            continue
-        if with_ends:
-            scores[qi] = stacked[pos, 0]
-            q_ends[qi] = stacked[pos, 1]
-            t_ends[qi] = stacked[pos, 2]
+    for dev_out, rows, order in launches:
+        if pack16:
+            block = _unpack_rows_i16(np.asarray(dev_out), rows)
         else:
-            scores[qi] = stacked[pos]
+            block = np.asarray(dev_out)
+        for pos, qi in enumerate(order):
+            if qi < 0:
+                continue
+            if with_ends:
+                scores[qi] = block[pos, 0]
+                q_ends[qi] = block[pos, 1]
+                t_ends[qi] = block[pos, 2]
+            else:
+                scores[qi] = block[pos]
     return scores, q_ends, t_ends
 
 
