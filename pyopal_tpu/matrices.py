@@ -15,6 +15,8 @@ one-hot MXU matmul in the Pallas kernel.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 _PROTEIN_ALPHABET = "ARNDCQEGHILKMFPSTWYVBZX*"
@@ -351,14 +353,61 @@ class ScoringMatrix:
         key = name.upper()
         if key in _REGISTERED:
             return _REGISTERED[key]
-        if key not in _TABLES:
-            raise ValueError(
-                f"unknown matrix name: {name!r} "
-                f"(available: {', '.join(sorted(_TABLES))}; "
-                f"load others with ScoringMatrix.from_file and add them "
-                f"to the catalog with ScoringMatrix.register)"
-            )
-        return cls(_parse(_TABLES[key]), _PROTEIN_ALPHABET, name=key)
+        if key in _TABLES:
+            return cls(_parse(_TABLES[key]), _PROTEIN_ALPHABET, name=key)
+        if key.startswith("PAM") and key[3:].isdigit():
+            return cls.pam(int(key[3:]))
+        raise ValueError(
+            f"unknown matrix name: {name!r} "
+            f"(available: {', '.join(sorted(_TABLES))}, any PAM10..."
+            f"PAM500; load others with ScoringMatrix.from_file and add "
+            f"them to the catalog with ScoringMatrix.register)"
+        )
+
+    @classmethod
+    def pam(cls, n: int, scale_denominator=None) -> "ScoringMatrix":
+        """Generate the PAM-``n`` substitution matrix from the Dayhoff
+        evolutionary chain.
+
+        Scores are integer log-odds of the fitted 20-state reversible
+        Markov chain (`pyopal_tpu._pam_chain`) raised to the ``n``-th
+        power, in units of ``ln(2)/scale_denominator`` (bits divided by
+        the denominator), with B/Z as frequency-weighted odds mixtures
+        of {N,D}/{Q,E}, X as the frequency-weighted average score, and
+        ``*`` the matrix minimum — the conventions recovered from the
+        published NCBI tables, which this generator reproduces
+        bit-exactly at n=30/70/120/250 (asserted by
+        ``tests/test_matrices.py``).
+
+        Args:
+            n (`int`): PAM evolutionary distance, 1 to 500.
+            scale_denominator (`int`, optional): score units as a
+                fraction of a bit: 2 = half-bits, 3 = third-bits.
+                Defaults to the published convention — 2 for
+                ``n <= 170``, 3 above (matching the four NCBI anchor
+                tables).  A handful of entries that fall within ~1e-4
+                of a rounding boundary are not pinned by the anchors
+                and may differ by ±1 from NCBI's files at other n.
+
+        Example:
+            >>> ScoringMatrix.pam(250) == ScoringMatrix.from_name("PAM250")
+            True
+
+        """
+        if not 1 <= n <= 500:
+            raise ValueError(f"PAM distance out of range [1, 500]: {n}")
+        if scale_denominator is None:
+            scale_denominator = 2 if n <= 170 else 3
+        key = f"PAM{n}"
+        # published anchors are served from the transcribed tables so
+        # boundary entries are exactly NCBI's even if float rounding
+        # ever drifted
+        if key in _TABLES and scale_denominator == (2 if n <= 170 else 3):
+            return cls(_parse(_TABLES[key]), _PROTEIN_ALPHABET, name=key)
+        from ._pam_chain import pam_scores
+
+        lam = math.log(2.0) / scale_denominator
+        return cls(pam_scores(n, lam), _PROTEIN_ALPHABET, name=key)
 
     @classmethod
     def from_text(cls, text: str, name=None) -> "ScoringMatrix":

@@ -171,3 +171,65 @@ N -2  0  6
     def test_from_name_error_mentions_from_file(self):
         with pytest.raises(ValueError, match="from_file"):
             ScoringMatrix.from_name("VTML999")
+
+
+class TestPamGenerator:
+    """The Dayhoff-chain PAM generator (`ScoringMatrix.pam`)."""
+
+    def test_regenerates_published_anchors_bit_exactly(self):
+        # the generated-table test against published values: the chain
+        # must reproduce every entry of the four transcribed NCBI
+        # tables (which from_name serves verbatim)
+        import math
+
+        from pyopal_tpu._pam_chain import pam_scores
+
+        for name, k in (("PAM30", 2), ("PAM70", 2), ("PAM120", 2),
+                        ("PAM250", 3)):
+            ref = ScoringMatrix.from_name(name).data
+            gen = pam_scores(int(name[3:]), math.log(2) / k)
+            assert (gen == ref).all(), name
+
+    def test_from_name_generates_any_pam(self):
+        for n in (10, 40, 160, 200, 300, 500):
+            m = ScoringMatrix.from_name(f"PAM{n}")
+            assert m.name == f"PAM{n}"
+            assert m.alphabet == "ARNDCQEGHILKMFPSTWYVBZX*"
+            assert m.is_integer() and m.is_symmetric()
+            d = m.data
+            # star row/col is the matrix minimum, star-star is 1
+            star = d[23, 0]
+            assert star == d[:23, :23].min()
+            assert (d[23, :23] == star).all() and (d[:23, 23] == star).all()
+            assert d[23, 23] == 1
+
+    def test_pam_self_scores_decay_with_distance(self):
+        # shorter evolutionary distance -> sharper self-scores
+        w40 = ScoringMatrix.pam(40).data[17, 17]
+        w160 = ScoringMatrix.pam(160).data[17, 17]
+        w250 = ScoringMatrix.pam(250, scale_denominator=2).data[17, 17]
+        assert w40 >= w160 >= w250
+
+    def test_pam_expected_score_negative(self):
+        from pyopal_tpu._pam_chain import PAM_FREQS
+
+        for n in (40, 160, 200):
+            d = ScoringMatrix.pam(n).data[:20, :20]
+            exp = PAM_FREQS @ d @ PAM_FREQS
+            assert exp < 0, n
+
+    def test_pam_scale_and_range(self):
+        m2 = ScoringMatrix.pam(250, scale_denominator=2)
+        m3 = ScoringMatrix.pam(250, scale_denominator=3)
+        # third-bit units are finer than half-bits, so magnitudes grow
+        assert m2.data[17, 17] < m3.data[17, 17]
+        with pytest.raises(ValueError):
+            ScoringMatrix.pam(0)
+        with pytest.raises(ValueError):
+            ScoringMatrix.pam(501)
+
+    def test_pam_aligner_end_to_end(self):
+        from pyopal_tpu import Aligner, Database
+
+        hits = Aligner("PAM200").align("ACCTCG", Database(["AACCGCTG"]))
+        assert hits[0].score > 0
