@@ -398,6 +398,18 @@ class ScoringMatrix:
             raise ValueError(f"PAM distance out of range [1, 500]: {n}")
         if scale_denominator is None:
             scale_denominator = 2 if n <= 170 else 3
+        else:
+            if scale_denominator != int(scale_denominator):
+                raise ValueError(
+                    f"scale_denominator must be an integer: "
+                    f"{scale_denominator!r}"
+                )
+            scale_denominator = int(scale_denominator)
+            if not 1 <= scale_denominator <= 8:
+                raise ValueError(
+                    f"scale_denominator out of range [1, 8]: "
+                    f"{scale_denominator!r}"
+                )
         key = f"PAM{n}"
         # published anchors are served from the transcribed tables so
         # boundary entries are exactly NCBI's even if float rounding
@@ -499,8 +511,11 @@ class ScoringMatrix:
     def to_text(self) -> str:
         """Render the matrix in the NCBI/EMBOSS text format
         (round-trips through `from_text`)."""
+        # width leaves >= 2 spaces before the widest value so the row
+        # letter never abuts the first field once one column is eaten
+        # by the letter itself
         width = max(
-            4, max(len(f"{v:g}") for v in self._data.reshape(-1)) + 1
+            4, max(len(f"{v:g}") for v in self._data.reshape(-1)) + 2
         )
         out = ["".join(f"{c:>{width}}" for c in self._alphabet)]
         for letter, row in zip(self._alphabet, self._data):

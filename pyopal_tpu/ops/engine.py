@@ -140,6 +140,10 @@ def _pack16_domain(database, start, end, queries_enc, matrix, go, ge) -> bool:
     span * ge)``) and at most one best match per aligned column
     (``<= min * m_max``).
     """
+    if go < 0 or ge < 0:
+        # gap *bonuses* make score magnitudes grow with path length,
+        # so no static bound holds
+        return False
     t_max = _slice_maxlen(database, start, end)
     q_max = int(max((q.shape[0] for q in queries_enc), default=0))
     m_max = int(np.abs(matrix).max(initial=0))
@@ -346,7 +350,6 @@ def _search_batch_pallas(
         database, start, end, queries_enc, matrix, go, ge
     )
     launches = []  # (device array, rows, row→query-index list)
-    cohort_order = []  # query index per output row (-1 = padding slot)
 
     def _emit(dev_out, order):
         # per-launch i16 row-pair pack (halves wire bytes when every
@@ -358,7 +361,6 @@ def _search_batch_pallas(
         except AttributeError:  # interpret-mode / tracer outputs
             pass
         launches.append((dev_out, len(order), order))
-        cohort_order.extend(order)
 
     for tier, lanes_q8, groups, v2_idx in plan_tier_launches(
         queries_enc, safe_pad
@@ -439,8 +441,6 @@ def _search_batch_pallas(
         else:
             block = np.asarray(dev_out)
         for pos, qi in enumerate(order):
-            if qi < 0:
-                continue
             if with_ends:
                 scores[qi] = block[pos, 0]
                 q_ends[qi] = block[pos, 1]
@@ -498,6 +498,11 @@ def _fp32_exact_domain(
     one match per aligned column, negative ones by a full gap chain
     plus one maximal mismatch per column.
     """
+    if gap_open < 0 or gap_extend < 0:
+        # gap *bonuses* make score magnitudes grow with path length;
+        # the static bound below assumes penalties, so route such
+        # (pathological but accepted) parameters to the int32 engine
+        return False
     t_max = _slice_maxlen(database, start, end)
     q_max = int(max((q.shape[0] for q in queries_enc), default=0))
     m_max = int(np.abs(matrix).max(initial=0))

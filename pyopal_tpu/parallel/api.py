@@ -71,7 +71,11 @@ def align_arrays_sharded(
     Query-tier cohorts route exactly like the single-device engine:
     full groups of 8 same-tier queries take the query-packed q8
     kernel, remainders the v2 ragged kernel, each as one ``shard_map``
-    launch (`pyopal_tpu.parallel.sharded_flat`).
+    launch (`pyopal_tpu.parallel.sharded_flat`).  Calls outside the
+    fp32 Pallas exactness domain (matrix entries beyond ±256, DP
+    values past 2**24, negative gap parameters), empty queries, and
+    queries beyond the kernels' VMEM tier keep the same results via
+    the single-device engine's int32/segmented fallbacks.
 
     Arguments:
         queries: iterable of query sequences (`str`, `bytes`, …).
@@ -118,83 +122,135 @@ def align_arrays_sharded(
     ]
     nq = len(queries_enc)
 
+    # the read lock is held for the whole search (as `Aligner.align`
+    # does, mirroring the reference's locked nogil region): the
+    # mutation-version cache key and every packed snapshot below are
+    # only coherent while writers are excluded
     with database.lock.read:
         n = database.get_size()
-        seqs = [database.get_encoded(i) for i in range(n)]
 
-    if nq == 0 or n == 0:
-        empty = np.zeros((nq, n), dtype=np.int32)
-        out = {"scores": empty}
-        if with_ends:
-            out["query_ends"] = np.full((nq, n), -1, np.int32)
-            out["target_ends"] = np.full((nq, n), -1, np.int32)
-        return out
-
-    scores = np.zeros((nq, n), dtype=np.int32)
-    q_ends = np.full((nq, n), -1, dtype=np.int32)
-    t_ends = np.full((nq, n), -1, dtype=np.int32)
-
-    def _pack(lanes):
-        return _pack_sharded_cached(database, seqs, n_shards, lanes)
-
-    def _store(qidx_rows, s, qe, te):
-        for row, qi in qidx_rows:
-            scores[qi] = s[row]
+        if nq == 0 or n == 0:
+            empty = np.zeros((nq, n), dtype=np.int32)
+            out = {"scores": empty}
             if with_ends:
-                q_ends[qi] = qe[row]
-                t_ends[qi] = te[row]
+                out["query_ends"] = np.full((nq, n), -1, np.int32)
+                out["target_ends"] = np.full((nq, n), -1, np.int32)
+            return out
 
-    for tier, lanes_q8, groups, v2_idx in engine.plan_tier_launches(
-        queries_enc, safe_pad
-    ):
-        if groups:
-            profs, qv, maxq = q8.make_profiles_q8_host(
-                queries_enc, matrix, groups, lanes=lanes_q8
+        # the mesh path runs the fp32 Pallas kernels: it has the same
+        # exactness domain as the single-device engine.  Out-of-domain
+        # calls (|matrix| > 256 bf16-profile window, DP values past the
+        # fp32 exact-integer window), empty queries, and queries beyond
+        # the kernels' VMEM tier fall back to the single-device engine
+        # dispatcher, which routes them to the int32 XLA / segmented /
+        # empty-query paths — same scores, without the mesh.
+        use_mesh = np.abs(matrix).max(
+            initial=0
+        ) <= 256 and engine._fp32_exact_domain(
+            database, 0, n, queries_enc, matrix, gap_open, gap_extend
+        )
+        mesh_ok = [
+            use_mesh
+            and q.shape[0] > 0
+            and pr.supports(
+                q.shape[0], algorithm, with_ends, safe_pad=safe_pad
             )
-            s, qe, te = sfm.sharded_search_flat_q8(
-                mesh,
-                jnp.asarray(profs, jnp.bfloat16),
-                jnp.asarray(qv),
-                jnp.asarray(maxq),
-                _pack(lanes_q8),
+            for q in queries_enc
+        ]
+        mesh_idx = [i for i, ok in enumerate(mesh_ok) if ok]
+        fb_idx = [i for i, ok in enumerate(mesh_ok) if not ok]
+
+        scores = np.zeros((nq, n), dtype=np.int32)
+        q_ends = np.full((nq, n), -1, dtype=np.int32)
+        t_ends = np.full((nq, n), -1, dtype=np.int32)
+
+        mesh_queries = [queries_enc[i] for i in mesh_idx]
+        seqs = (
+            [database.get_encoded(i) for i in range(n)]
+            if mesh_idx
+            else []
+        )
+
+        def _pack(lanes):
+            return _pack_sharded_cached(database, seqs, n_shards, lanes)
+
+        def _store(qidx_rows, s, qe, te):
+            for row, qi in qidx_rows:
+                scores[qi] = s[row]
+                if with_ends:
+                    q_ends[qi] = qe[row]
+                    t_ends[qi] = te[row]
+
+        for tier, lanes_q8, groups, v2_idx in engine.plan_tier_launches(
+            mesh_queries, safe_pad
+        ):
+            if groups:
+                profs, qv, maxq = q8.make_profiles_q8_host(
+                    mesh_queries, matrix, groups, lanes=lanes_q8
+                )
+                s, qe, te = sfm.sharded_search_flat_q8(
+                    mesh,
+                    jnp.asarray(profs, jnp.bfloat16),
+                    jnp.asarray(qv),
+                    jnp.asarray(maxq),
+                    _pack(lanes_q8),
+                    gap_open,
+                    gap_extend,
+                    algorithm,
+                    with_ends=with_ends,
+                    interpret=interpret,
+                )
+                _store(
+                    [
+                        (g * q8.QB + qb, mesh_idx[qi])
+                        for g, idxs in enumerate(groups)
+                        for qb, qi in enumerate(idxs)
+                    ],
+                    s,
+                    qe,
+                    te,
+                )
+
+            if v2_idx:
+                cohort = [mesh_queries[i] for i in v2_idx]
+                profs = jnp.asarray(
+                    pr.make_profiles_host(cohort, matrix), jnp.bfloat16
+                )
+                qlens = jnp.asarray(
+                    np.array([len(q) for q in cohort], np.int32)
+                )
+                s, qe, te = sfm.sharded_search_flat(
+                    mesh,
+                    profs,
+                    qlens,
+                    _pack(sfm.LANES),
+                    gap_open,
+                    gap_extend,
+                    algorithm,
+                    with_ends=with_ends,
+                    interpret=interpret,
+                    safe_pad=safe_pad,
+                )
+                _store(
+                    [(row, mesh_idx[qi]) for row, qi in enumerate(v2_idx)],
+                    s,
+                    qe,
+                    te,
+                )
+
+        if fb_idx:
+            s, qe, te = engine.search_scores_batch(
+                database,
+                0,
+                n,
+                [queries_enc[i] for i in fb_idx],
+                matrix,
                 gap_open,
                 gap_extend,
                 algorithm,
                 with_ends=with_ends,
-                interpret=interpret,
             )
-            _store(
-                [
-                    (g * q8.QB + qb, qi)
-                    for g, idxs in enumerate(groups)
-                    for qb, qi in enumerate(idxs)
-                ],
-                s,
-                qe,
-                te,
-            )
-
-        if v2_idx:
-            cohort = [queries_enc[i] for i in v2_idx]
-            profs = jnp.asarray(
-                pr.make_profiles_host(cohort, matrix), jnp.bfloat16
-            )
-            qlens = jnp.asarray(
-                np.array([len(q) for q in cohort], np.int32)
-            )
-            s, qe, te = sfm.sharded_search_flat(
-                mesh,
-                profs,
-                qlens,
-                _pack(sfm.LANES),
-                gap_open,
-                gap_extend,
-                algorithm,
-                with_ends=with_ends,
-                interpret=interpret,
-                safe_pad=safe_pad,
-            )
-            _store(list(enumerate(v2_idx)), s, qe, te)
+            _store(list(enumerate(fb_idx)), s, qe, te)
 
     out = {"scores": scores}
     if with_ends:

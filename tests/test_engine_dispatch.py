@@ -194,3 +194,37 @@ def test_pack_rows_i16_round_trip():
         assert packed.shape[0] == (shape[0] + 1) // 2
         out = engine._unpack_rows_i16(packed, shape[0])
         np.testing.assert_array_equal(out, x)
+
+
+def test_negative_gap_parameters_route_to_xla(db, monkeypatch):
+    """Gap *bonuses* (negative go/ge) void the static magnitude bounds
+    behind the fp32 Pallas path and the int16 readback packing; such
+    calls must ride the int32 XLA engine and match it exactly."""
+    rng = np.random.default_rng(33)
+    matrix = po.Aligner().scoring_matrix.int_data()
+    queries = _encode(db.alphabet, [_random_seq(rng, 24)])
+
+    assert not engine._fp32_exact_domain(
+        db, 0, len(db), queries, matrix, -300, -300
+    )
+    assert not engine._pack16_domain(
+        db, 0, len(db), queries, matrix, -300, -300
+    )
+
+    calls = []
+    real_xla = engine._search_batch_xla
+    monkeypatch.setattr(
+        engine,
+        "_search_batch_xla",
+        lambda *a, **k: calls.append("xla") or real_xla(*a, **k),
+    )
+    monkeypatch.setattr(engine, "_INTERPRET", True)
+    got = engine.search_scores_batch(
+        db, 0, len(db), queries, matrix, -300, -300, "sw", with_ends=True
+    )
+    assert calls == ["xla"]
+    ref = real_xla(
+        db, 0, len(db), queries, matrix, -300, -300, "sw", True
+    )
+    for name, a, b in zip(("scores", "q_ends", "t_ends"), got, ref):
+        np.testing.assert_array_equal(a, b, err_msg=name)

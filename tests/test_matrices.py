@@ -233,3 +233,24 @@ class TestPamGenerator:
 
         hits = Aligner("PAM200").align("ACCTCG", Database(["AACCGCTG"]))
         assert hits[0].score > 0
+
+
+def test_to_text_round_trips_every_bundled_matrix():
+    # PAM30's widest value ("-17") once abutted the row letter and the
+    # render was unparseable; pin the round trip for the whole catalog
+    for name in ScoringMatrix.available_matrices():
+        m = ScoringMatrix.from_name(name)
+        back = ScoringMatrix.from_text(m.to_text())
+        assert back.alphabet == m.alphabet, name
+        np.testing.assert_array_equal(back.data, m.data, err_msg=name)
+
+
+def test_pam_scale_denominator_must_be_integral():
+    with pytest.raises(ValueError):
+        ScoringMatrix.pam(100, scale_denominator=8.9)
+    with pytest.raises(ValueError):
+        ScoringMatrix.pam(100, scale_denominator=2.5)
+    # integral floats are accepted and match the int path
+    assert ScoringMatrix.pam(100, scale_denominator=2.0) == (
+        ScoringMatrix.pam(100, scale_denominator=2)
+    )

@@ -162,3 +162,44 @@ def test_validation_errors():
         align_arrays_sharded(["ACDEF"], db, mode="full")
     with pytest.raises(ValueError):
         align_arrays_sharded(["ACDEF"], db, algorithm="bogus")
+
+
+def test_empty_query_matches_single_device():
+    # zero-length queries must take the engine's empty-query path, not
+    # the Pallas kernels' NEG sentinel
+    db = _random_db(5, 4, 12, seed=71)
+    for algorithm in ("nw", "sw", "hw", "ov"):
+        _check(["", "ACGTR"], db, algorithm=algorithm, mode="end")
+
+
+def test_large_matrix_falls_back_to_int32_engine():
+    # |entries| > 256 leave the bf16-exact profile window: the mesh
+    # path must route to the single-device int32 engine, same scores
+    big = po.ScoringMatrix.from_match_mismatch(500, -400, AMINO)
+    rng = random.Random(72)
+    db = po.Database(
+        (
+            "".join(rng.choice(AMINO) for _ in range(rng.randint(5, 20)))
+            for _ in range(6)
+        ),
+        alphabet=big.alphabet,
+    )
+    queries = _random_queries(3, 4, 10, seed=73)
+    _check(queries, db, scoring_matrix=big, algorithm="sw")
+
+
+def test_out_of_fp32_domain_falls_back():
+    # gap_open beyond the fp32 exact-integer window (test pinned on the
+    # single-device path in test_engine_dispatch) must not run the
+    # fp32 kernels
+    db = _random_db(4, 5, 15, seed=74)
+    queries = _random_queries(2, 4, 8, seed=75)
+    _check(queries, db, gap_open=2**25, algorithm="nw")
+
+
+def test_negative_gap_parameters_fall_back():
+    # gap bonuses void every static magnitude bound; results must
+    # still match the int32 reference engine
+    db = _random_db(4, 5, 15, seed=76)
+    queries = _random_queries(2, 4, 8, seed=77)
+    _check(queries, db, gap_open=-2, gap_extend=-1, algorithm="sw")
