@@ -87,6 +87,22 @@ class TestContainers(unittest.TestCase):
         self.assertEqual(again.alphabet, m.alphabet)
         self.assertEqual(again, pyopal_tpu.ScoringMatrix(m.data, m.alphabet))
 
+    def test_pam_generation(self):
+        # PAM30's widest value stresses the text renderer; PAM200 is a
+        # generated (non-transcribed) table
+        m30 = pyopal_tpu.ScoringMatrix.from_name("PAM30")
+        self.assertEqual(
+            pyopal_tpu.ScoringMatrix.from_text(m30.to_text()),
+            pyopal_tpu.ScoringMatrix(m30.data, m30.alphabet),
+        )
+        m200 = pyopal_tpu.ScoringMatrix.from_name("PAM200")
+        self.assertEqual(m200.name, "PAM200")
+        self.assertTrue(m200.is_integer())
+        self.assertEqual(
+            pyopal_tpu.ScoringMatrix.pam(250),
+            pyopal_tpu.ScoringMatrix.from_name("PAM250"),
+        )
+
     def test_parallel_import_surface(self):
         from pyopal_tpu.parallel import align_arrays_sharded, device_mesh
 

@@ -80,3 +80,46 @@ def test_native_encoder_available():
 
     a = pyopal_tpu.Alphabet("ACGT")
     assert _encoder.encode(b"GATACA", a._ahash) == bytes([2, 0, 3, 0, 1, 0])
+
+
+class TestFastaEdgeCases:
+    """Adversarial FASTA inputs: the native C scanner and the Python
+    fallback must agree on all of them."""
+
+    CASES = {
+        "crlf": b">a r\r\nGAT\r\nTACA\r\n>b\r\nTTTT\r\n",
+        "no_trailing_newline": b">a\nGATT\n>b\nACGT",
+        "empty_record": b">a\nGATT\n>empty\n>b\nACGT\n",
+        "blank_lines": b">a\n\nGAT\n\nTACA\n\n>b\nTT\n",
+        "bare_gt_header": b">\nGATT\n>b x\nACGT\n",
+        "tab_header": b">a\tdescription here\nGATT\n",
+        "leading_junk_ignored": b"; comment\n>a\nGATT\n",
+        "spaces_in_seq": b">a\nGAT TACA\n",
+        "empty_input": b"",
+        "header_only": b">lonely header\n",
+    }
+
+    @pytest.mark.parametrize("case", sorted(CASES))
+    def test_native_matches_python_fallback(self, case):
+        from pyopal_tpu import io as io_mod
+        from pyopal_tpu.alphabet import Alphabet
+
+        data = self.CASES[case]
+        alpha = Alphabet("ACGT")
+        py_names, py_seqs = io_mod._parse_fasta_py(data, alpha)
+        names, db = read_fasta(data, alphabet=alpha)
+        assert names == py_names, case
+        assert len(db) == len(py_seqs), case
+        for got, want in zip(db, py_seqs):
+            assert got == alpha.decode(want.tobytes()), case
+
+    def test_invalid_symbol_raises_both_paths(self):
+        from pyopal_tpu import io as io_mod
+        from pyopal_tpu.alphabet import Alphabet
+
+        alpha = Alphabet("ACGT")
+        bad = b">a\nGATX\n"
+        with pytest.raises(ValueError):
+            read_fasta(bad, alphabet=alpha)
+        with pytest.raises(ValueError):
+            io_mod._parse_fasta_py(bad, alpha)
