@@ -146,13 +146,21 @@ class Alphabet:
         if _native_encoder is not None and seq.flags["C_CONTIGUOUS"]:
             encoded = _native_encoder.encode(seq, self._ahash)
             return np.frombuffer(encoded, dtype=np.uint8)
-        if seq.size and not _IS_ALPHA[seq].all():
-            bad = int(seq[~_IS_ALPHA[seq]][0])
-            raise ValueError(f"character outside ASCII range: {bad!r}")
         codes = self._ahash[seq]
-        if self._unknown < 0 and seq.size and (codes < 0).any():
-            bad = chr(int(seq[codes < 0][0]))
-            raise ValueError(f"non-alphabet character in sequence: {bad!r}")
+        bad_mask = ~_IS_ALPHA[seq]
+        if self._unknown < 0:
+            bad_mask |= codes < 0
+        if seq.size and bad_mask.any():
+            # classify the FIRST offending character in sequence order,
+            # exactly like the native extension's (and the reference's)
+            # sequential scan — lib.pyx:262-270
+            i = int(np.argmax(bad_mask))
+            bad = int(seq[i])
+            if not _IS_ALPHA[bad]:
+                raise ValueError(f"character outside ASCII range: {bad!r}")
+            raise ValueError(
+                f"non-alphabet character in sequence: {chr(bad)!r}"
+            )
         return codes.astype(np.uint8)
 
     def _decode_array(self, enc: np.ndarray) -> np.ndarray:

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .alphabet import Alphabet
+from .alphabet import _IS_ALPHA, Alphabet
 from .database import Database
 
 try:  # pragma: no cover - exercised when the extension is built
@@ -66,6 +66,27 @@ def read_fasta(path_or_data, alphabet=None):
     return names, db
 
 
+def _encode_fasta_seq(raw: bytes, alphabet: Alphabet) -> np.ndarray:
+    """FASTA-lenient encode, matching the native scanner exactly:
+    interior whitespace is skipped and ``*`` (stop codon) is accepted
+    when the alphabet maps it — unlike the strict `Alphabet.encode`,
+    which follows the reference's isalpha contract."""
+    seq = np.frombuffer(raw, dtype=np.uint8)
+    seq = seq[~np.isin(seq, (9, 13, 32))]  # tab, CR, space
+    codes = np.asarray(alphabet._ahash)[seq]
+    bad_mask = ~_IS_ALPHA[seq] & (seq != ord("*"))
+    bad_mask |= codes < 0
+    if seq.size and bad_mask.any():
+        i = int(np.argmax(bad_mask))
+        bad = int(seq[i])
+        if not _IS_ALPHA[bad] and bad != ord("*"):
+            raise ValueError(f"character outside ASCII range: {bad!r}")
+        raise ValueError(
+            f"non-alphabet character in sequence: {chr(bad)!r}"
+        )
+    return codes.astype(np.uint8)
+
+
 def _parse_fasta_py(data: bytes, alphabet: Alphabet):
     names, seqs = [], []
     name = None
@@ -73,17 +94,15 @@ def _parse_fasta_py(data: bytes, alphabet: Alphabet):
     for line in data.splitlines():
         if line.startswith(b">"):
             if name is not None:
-                enc = alphabet.encode(b"".join(chunks))
-                seqs.append(np.frombuffer(enc, dtype=np.uint8))
+                seqs.append(_encode_fasta_seq(b"".join(chunks), alphabet))
             header = line[1:].strip()
             name = header.split(b" ")[0].split(b"\t")[0]
             names.append(name.decode("ascii", "replace"))
             chunks = []
         elif name is not None:
-            chunks.append(line.strip().replace(b" ", b""))
+            chunks.append(line)
     if name is not None:
-        enc = alphabet.encode(b"".join(chunks))
-        seqs.append(np.frombuffer(enc, dtype=np.uint8))
+        seqs.append(_encode_fasta_seq(b"".join(chunks), alphabet))
     return names, seqs
 
 
@@ -107,7 +126,10 @@ def save_database(path, database: Database, names=None) -> None:
         ),
     )
     if names is not None:
-        kwargs["names"] = np.asarray(names, dtype=object)
+        # fixed-width unicode, NOT dtype=object: object arrays force
+        # pickle into the archive, which would make load_database an
+        # arbitrary-code-execution vector for untrusted files
+        kwargs["names"] = np.asarray([str(n) for n in names])
     np.savez_compressed(path, **kwargs)
 
 
@@ -117,11 +139,16 @@ def load_database(path):
     Returns ``(names, Database)``; ``names`` is `None` when the file
     was saved without them.
     """
-    with np.load(path, allow_pickle=True) as f:
+    # allow_pickle stays False (the numpy default): the format holds
+    # only plain arrays, and pickled payloads in untrusted files would
+    # execute arbitrary code on load
+    with np.load(path) as f:
         payload = f["payload"]
         lengths = f["lengths"]
         letters = f["alphabet"].tobytes().decode("ascii")
-        names = list(f["names"]) if "names" in f else None
+        names = (
+            [str(n) for n in f["names"]] if "names" in f else None
+        )
 
     db = Database(alphabet=letters)
     offsets = np.concatenate([[0], np.cumsum(lengths)])

@@ -54,12 +54,26 @@ def ensure_built(quiet: bool = True) -> bool:
     if not os.path.exists(os.path.join(root, "setup.py")):
         return False
     try:
-        subprocess.run(
-            [sys.executable, "setup.py", "build_ext", "--inplace"],
-            cwd=root,
-            check=True,
-            capture_output=quiet,
-        )
+        # serialize concurrent in-place builds (e.g. pytest-xdist
+        # workers importing simultaneously): whoever loses the race
+        # blocks until the winner finishes, then re-probes
+        lock_path = os.path.join(root, ".native_build.lock")
+        with open(lock_path, "a+") as lock_file:
+            try:
+                import fcntl
+
+                fcntl.flock(lock_file, fcntl.LOCK_EX)
+            except ImportError:  # pragma: no cover - non-POSIX
+                pass
+            importlib.invalidate_caches()
+            if not _missing_extensions():
+                return True
+            subprocess.run(
+                [sys.executable, "setup.py", "build_ext", "--inplace"],
+                cwd=root,
+                check=True,
+                capture_output=quiet,
+            )
     except (OSError, subprocess.CalledProcessError):
         return False
     importlib.invalidate_caches()

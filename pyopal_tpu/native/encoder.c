@@ -12,7 +12,6 @@
  *   encode(bytes_like, ahash_table_int8[256]) -> bytes   (ordinals)
  *   encode_into(src_u8, dst_u8, ahash)                   (buffers)
  *   parse_fasta(bytes, ahash) -> (ids, encoded_list)
- *   pack_block(seq_list, out_u8[t_pad][lanes], col_major)
  */
 
 #define PY_SSIZE_T_CLEAN
@@ -175,6 +174,8 @@ py_parse_fasta(PyObject *self, PyObject *args)
     PyObject *seqs = PyList_New(0);
     unsigned char *scratch = NULL;
     Py_ssize_t scratch_cap = 0;
+    if (ids == NULL || seqs == NULL)
+        goto fail;
 
     const unsigned char *p = (const unsigned char *)data.buf;
     const unsigned char *end = p + data.len;
@@ -275,52 +276,6 @@ fail:
     return NULL;
 }
 
-/* pack_block(seqs: list[buffer], out: writable buffer of t_pad*lanes int32,
- *            t_pad, lanes) — fills the lane-major padded device block */
-static PyObject *
-py_pack_block(PyObject *self, PyObject *args)
-{
-    PyObject *seq_list, *out_obj;
-    Py_ssize_t t_pad, lanes;
-    if (!PyArg_ParseTuple(args, "OOnn", &seq_list, &out_obj, &t_pad, &lanes))
-        return NULL;
-    if (!PyList_Check(seq_list)) {
-        PyErr_SetString(PyExc_TypeError, "expected list of sequences");
-        return NULL;
-    }
-    Py_buffer out;
-    if (PyObject_GetBuffer(out_obj, &out, PyBUF_WRITABLE) < 0)
-        return NULL;
-    if (out.len != (Py_ssize_t)(t_pad * lanes * 4)) {
-        PyBuffer_Release(&out);
-        PyErr_SetString(PyExc_ValueError, "output buffer has wrong size");
-        return NULL;
-    }
-    int *dst = (int *)out.buf;
-    Py_ssize_t nseq = PyList_GET_SIZE(seq_list);
-    if (nseq > lanes) {
-        PyBuffer_Release(&out);
-        PyErr_SetString(PyExc_ValueError, "more sequences than lanes");
-        return NULL;
-    }
-    memset(dst, 0, out.len);
-    for (Py_ssize_t lane = 0; lane < nseq; lane++) {
-        Py_buffer seq;
-        if (PyObject_GetBuffer(PyList_GET_ITEM(seq_list, lane), &seq,
-                               PyBUF_SIMPLE) < 0) {
-            PyBuffer_Release(&out);
-            return NULL;
-        }
-        Py_ssize_t n = seq.len < t_pad ? seq.len : t_pad;
-        const unsigned char *s = (const unsigned char *)seq.buf;
-        for (Py_ssize_t i = 0; i < n; i++)
-            dst[i * lanes + lane] = (int)s[i];
-        PyBuffer_Release(&seq);
-    }
-    PyBuffer_Release(&out);
-    Py_RETURN_NONE;
-}
-
 static PyMethodDef methods[] = {
     {"encode", py_encode, METH_VARARGS,
      "encode(seq, ahash) -> bytes of ordinals"},
@@ -328,8 +283,6 @@ static PyMethodDef methods[] = {
      "encode_into(src, dst, ahash)"},
     {"parse_fasta", py_parse_fasta, METH_VARARGS,
      "parse_fasta(data, ahash) -> (ids, encoded)"},
-    {"pack_block", py_pack_block, METH_VARARGS,
-     "pack_block(seqs, out_int32, t_pad, lanes)"},
     {NULL, NULL, 0, NULL},
 };
 

@@ -70,9 +70,8 @@ class PackedDatabase:
 
     @property
     def total_cells_padded(self) -> int:
-        return sum(
-            g.targets.shape[0] * g.t_pad * LANES for g in self.groups
-        )
+        # .size covers non-default lane widths (q8 packs use 256/512)
+        return sum(int(g.targets.size) for g in self.groups)
 
     @property
     def total_cells(self) -> int:
@@ -145,7 +144,8 @@ class FlatPacked:
 
     @property
     def total_cells_padded(self) -> int:
-        return self.flat_targets.shape[0] * LANES
+        # .size covers non-default lane widths (q8 packs use 256/512)
+        return int(self.flat_targets.size)
 
     @property
     def total_cells(self) -> int:

@@ -329,18 +329,32 @@ def full_alignments_batch(
     n = len(targets)
     out = [None] * n
 
-    # group pairs into padded sub-batches to bound device memory
+    # group pairs into padded sub-batches to bound device memory; the
+    # accounting uses the REAL allocation shape (batch rounded to a
+    # power of two, columns to the 128 quantum, every row padded to the
+    # batch max), not the raw cell count
+    def _alloc(nb, tmax):
+        b_pow2 = 1 << max(nb - 1, 0).bit_length()
+        return b_pow2 * _round_up_128(tmax) * max(Q, 1)
+
     order = sorted(range(n), key=lambda i: len(targets[i]))
-    batch, batch_cells = [], 0
+    batch, batch_tmax = [], 1
     flushes = []
     for i in order:
         t_pad = max(len(targets[i]), 1)
-        cells = Q * t_pad
-        if batch and (batch_cells + cells) * 1 > MAX_DEVICE_CELLS:
+        if _alloc(1, t_pad) > MAX_DEVICE_CELLS:
+            # a single pair over budget takes the scalar fallback
+            out[i] = naive.traceback(
+                query_enc, targets[i], matrix, go, ge, algorithm
+            )
+            continue
+        if batch and _alloc(
+            len(batch) + 1, max(batch_tmax, t_pad)
+        ) > MAX_DEVICE_CELLS:
             flushes.append(batch)
-            batch, batch_cells = [], 0
+            batch, batch_tmax = [], 1
         batch.append(i)
-        batch_cells += cells
+        batch_tmax = max(batch_tmax, t_pad)
     if batch:
         flushes.append(batch)
 

@@ -313,6 +313,10 @@ class FullResult(EndResult):
         """
         matches = int((self._ops == OP_MATCH).sum())
         mismatches = int((self._ops == OP_MISMATCH).sum())
+        if matches + mismatches == 0:
+            # gap-only alignment: nan, silently, like the reference's C
+            # float division (lib.pyx:1039-1052) — not a RuntimeWarning
+            return float("nan")
         return float(np.float32(matches) / np.float32(matches + mismatches))
 
     def coverage(self, reference="query"):

@@ -440,3 +440,80 @@ def test_ragged_supports_mode_aware():
     assert not pr.supports(0)
     # default (mode-less, non-safe) callers keep the conservative ceiling
     assert pr.supports(2048) and not pr.supports(2049)
+
+
+def test_traceback_oversized_pair_scalar_fallback(monkeypatch):
+    """A pair whose padded direction matrix exceeds the device budget
+    must take the scalar fallback and still match the oracle."""
+    from pyopal_tpu.ops import traceback as tb
+
+    monkeypatch.setattr(tb, "MAX_DEVICE_CELLS", 2048)
+    rng = np.random.default_rng(23)
+    q = rng.integers(0, 24, 30).astype(np.uint8)
+    # lengths straddle the shrunken budget: 30 * round128(200) > 2048
+    targets = [
+        rng.integers(0, 24, int(L)).astype(np.uint8)
+        for L in (5, 40, 200, 300)
+    ]
+    for algo in ALGOS:
+        ends = ([], [], [])
+        for t in targets:
+            s_, qe_, te_ = naive.score_end(q, t, S, 3, 1, algo)
+            ends[0].append(s_)
+            ends[1].append(qe_)
+            ends[2].append(te_)
+        outs = tb.full_alignments_batch(q, targets, S, 3, 1, algo, ends)
+        for i, t in enumerate(targets):
+            want = naive.traceback(q, t, S, 3, 1, algo)
+            assert outs[i][:5] == want[:5], (algo, i)
+            assert np.array_equal(outs[i][5], want[5]), (algo, i)
+
+
+def test_host_walk_mirrors_device_walk():
+    """`traceback._walk` is the readable host mirror of the on-device
+    walk; pin their equivalence so neither drifts."""
+    import jax.numpy as jnp
+
+    from pyopal_tpu.models import ALGORITHMS
+    from pyopal_tpu.ops import traceback as tb
+    from pyopal_tpu.results import OP_MATCH, OP_MISMATCH, OP_INS, OP_DEL
+
+    rng = np.random.default_rng(29)
+    for go, ge in [(3, 1), (1, 3)]:
+        for algo in ALGOS:
+            spec = ALGORITHMS[algo]
+            Q = int(rng.integers(2, 24))
+            q = rng.integers(0, 24, Q).astype(np.uint8)
+            targets = [
+                rng.integers(0, 24, int(L)).astype(np.uint8)
+                for L in rng.integers(1, 50, 6)
+            ]
+            prof = np.asarray(S, np.int32)[q.astype(np.int64), :]
+            t_pad = max(len(t) for t in targets)
+            tgt = np.zeros((len(targets), t_pad), np.int32)
+            for k, t in enumerate(targets):
+                tgt[k, : len(t)] = t
+            dirs = np.asarray(
+                tb._dir_matrix_batch(
+                    jnp.asarray(prof), jnp.asarray(tgt), go, ge, algo
+                )
+            )
+            for k, t in enumerate(targets):
+                s_, qe, te = naive.score_end(q, t, S, go, ge, algo)
+                if algo == "sw" and (qe < 0 or te < 0):
+                    continue
+                qs, ts, ops = tb._walk(
+                    dirs[k], spec, 0, int(qe), int(te), go, ge
+                )
+                ops = np.asarray(ops, np.uint8)
+                # refine M -> X like full_alignments_batch does
+                consumes_q = ops != OP_INS
+                consumes_t = ops != OP_DEL
+                qpos = qs + np.cumsum(consumes_q) - consumes_q
+                tpos = ts + np.cumsum(consumes_t) - consumes_t
+                m = np.nonzero(ops == OP_MATCH)[0]
+                mism = q[qpos[m]] != t[tpos[m]]
+                ops[m[mism]] = OP_MISMATCH
+                want = naive.traceback(q, t, S, go, ge, algo)
+                assert (qs, ts) == (want[1], want[2]), (go, ge, algo, k)
+                assert np.array_equal(ops, want[5]), (go, ge, algo, k)

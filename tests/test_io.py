@@ -123,3 +123,34 @@ class TestFastaEdgeCases:
             read_fasta(bad, alphabet=alpha)
         with pytest.raises(ValueError):
             io_mod._parse_fasta_py(bad, alpha)
+
+
+def test_fasta_stop_codon_parity():
+    # '*' is FASTA-legal (stop codon) and maps in the default protein
+    # alphabet; native scanner and fallback must both accept it
+    from pyopal_tpu import io as io_mod
+
+    data = b">a\nMKV*\n>b desc\nAC*GT\n"
+    names, db = read_fasta(data)
+    py_names, py_seqs = io_mod._parse_fasta_py(
+        data, Database._DEFAULT_ALPHABET
+    )
+    assert names == py_names == ["a", "b"]
+    assert list(db) == ["MKV*", "AC*GT"]
+    assert [
+        Database._DEFAULT_ALPHABET.decode(s.tobytes()) for s in py_seqs
+    ] == ["MKV*", "AC*GT"]
+
+
+def test_load_database_refuses_pickled_archives(tmp_path):
+    # the on-disk format must never execute pickle payloads
+    path = tmp_path / "evil.npz"
+    np.savez(
+        path,
+        payload=np.zeros(0, np.uint8),
+        lengths=np.zeros(0, np.int64),
+        alphabet=np.frombuffer(b"ACGT", dtype=np.uint8),
+        names=np.asarray(["x", None], dtype=object),
+    )
+    with pytest.raises(ValueError):
+        load_database(path)

@@ -121,3 +121,15 @@ class TestFullResult:
         r = _full(alignment="MMMM")
         with pytest.raises(ValueError):
             r.coverage("nonsense")
+
+
+def test_identity_gap_only_alignment_is_nan_without_warning():
+    import math
+    import warnings
+
+    from pyopal_tpu.results import FullResult
+
+    r = FullResult(0, 0, -1, -1, 0, 0, 2, 2, "DDII")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        assert math.isnan(r.identity())
