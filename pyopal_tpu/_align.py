@@ -47,6 +47,7 @@ def _chunk_bounds(n_targets: int, n_chunks: int, quantum: int = LANES):
     Lane-aligned edges keep each worker's slice covering whole packed
     blocks, so per-chunk packing never re-pads a partially-owned block.
     """
+    n_chunks = max(n_chunks, 1)
     per = -(-n_targets // n_chunks)  # ceil
     per = -(-per // quantum) * quantum  # round up to the lane width
     start = 0
@@ -117,6 +118,10 @@ def align(
         database = Database(database, matrix.alphabet)
     aligner = Aligner(matrix, gap_open=gap_open, gap_extend=gap_extend)
 
+    if threads < 0:
+        # mirror multiprocessing.pool.ThreadPool's contract instead of
+        # looping forever in the chunk planner
+        raise ValueError("Number of threads must be at least 0")
     n = len(database)
     threads = min(threads, n) or 1  # no more workers than targets
 

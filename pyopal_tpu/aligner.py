@@ -31,6 +31,19 @@ _OVERFLOW_MODES = ("simple", "buckets")
 _ALGORITHMS = ("nw", "hw", "ov", "sw")
 
 
+
+def _clamp_slice(size: int, start: int, end: int):
+    """Validate and clamp a database slice, shared by every search
+    entry point (reference contract: ``lib.pyx:1365-1370`` — negative
+    offsets are rejected rather than wrapping Python-style, which
+    would silently duplicate targets)."""
+    if start < 0:
+        raise IndexError("database slice start cannot be negative")
+    if end < start:
+        raise IndexError("database slice end is lower than start")
+    return start, min(end, size)
+
+
 class Aligner:
     """A TPU-accelerated database-search aligner.
 
@@ -190,11 +203,7 @@ class Aligner:
         )
 
         with database.lock.read:
-            size = database.get_size()
-            if end < start:
-                raise IndexError("database slice end is lower than start")
-            if end > size:
-                end = size
+            start, end = _clamp_slice(database.get_size(), start, end)
             if start > end:
                 return []
             return engine.search(
@@ -253,11 +262,7 @@ class Aligner:
             database.alphabet.encode(query), dtype=np.uint8
         )
         with database.lock.read:
-            size = database.get_size()
-            if end < start:
-                raise IndexError("database slice end is lower than start")
-            if end > size:
-                end = size
+            start, end = _clamp_slice(database.get_size(), start, end)
             if start > end:
                 return []
             return engine.search_top_k(
@@ -312,13 +317,9 @@ class Aligner:
             for q in queries
         ]
         with database.lock.read:
-            size = database.get_size()
-            if end < start:
-                raise IndexError("database slice end is lower than start")
-            if end > size:
-                end = size
+            start, end = _clamp_slice(database.get_size(), start, end)
             if start > end:
-                return [[] for _ in queries]
+                return [[] for _ in encoded]
             scores, q_ends, t_ends = engine.search_scores_batch(
                 database,
                 start,
@@ -333,7 +334,7 @@ class Aligner:
         from .results import build_end_results, build_score_results
 
         out = []
-        for qi in range(len(queries)):
+        for qi in range(len(encoded)):
             if mode == "score":
                 out.append(build_score_results(start, scores[qi]))
             else:
@@ -382,14 +383,14 @@ class Aligner:
             for q in queries
         ]
         with database.lock.read:
-            size = database.get_size()
-            if end < start:
-                raise IndexError("database slice end is lower than start")
-            if end > size:
-                end = size
+            start, end = _clamp_slice(database.get_size(), start, end)
             if start > end:
-                empty = np.zeros((len(queries), 0), dtype=np.int32)
-                return {"scores": empty}
+                empty = np.zeros((len(encoded), 0), dtype=np.int32)
+                out = {"scores": empty}
+                if mode == "end":
+                    out["query_ends"] = empty.copy()
+                    out["target_ends"] = empty.copy()
+                return out
             scores, q_ends, t_ends = engine.search_scores_batch(
                 database,
                 start,

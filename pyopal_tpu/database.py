@@ -242,8 +242,12 @@ class Database(BaseDatabase):
 
     def __getitem__(self, index):
         if isinstance(index, slice):
-            indices = range(*index.indices(len(self)))
-            return self.extract(indices)
+            # size read and extraction under ONE read-lock span (the
+            # lock is reader-reentrant), so a concurrent deletion
+            # between them cannot invalidate the computed range
+            with self.lock.read:
+                indices = range(*index.indices(len(self._sequences)))
+                return self.extract(indices)
         return super().__getitem__(index)
 
     def __setitem__(self, index, sequence) -> None:

@@ -222,6 +222,22 @@ def pack_sequences_flat(
     )
 
 
+
+#: per-database cap on memoized packs: each entry pins host arrays and
+#: (via ``_dev``/``put`` caches) HBM copies, so sliding-window query
+#: patterns must not grow the cache without bound.  Eviction is FIFO;
+#: the cache is also cleared wholesale on every database mutation.
+PACK_CACHE_MAX = 16
+
+
+def _cache_put(cache, key, value):
+    if cache is None:
+        return
+    while len(cache) >= PACK_CACHE_MAX:
+        cache.pop(next(iter(cache)))
+    cache[key] = value
+
+
 def pack_database_slice_flat(
     database, start: int, end: int, lanes: int = LANES
 ) -> FlatPacked:
@@ -238,8 +254,7 @@ def pack_database_slice_flat(
         return cache[key]
     seqs = [database.get_encoded(i) for i in range(start, end)]
     packed = pack_sequences_flat(seqs, lanes=lanes)
-    if cache is not None:
-        cache[key] = packed
+    _cache_put(cache, key, packed)
     return packed
 
 
@@ -256,6 +271,5 @@ def pack_database_slice(database, start: int, end: int) -> PackedDatabase:
         return cache[key]
     seqs = [database.get_encoded(i) for i in range(start, end)]
     packed = pack_sequences(seqs)
-    if cache is not None:
-        cache[key] = packed
+    _cache_put(cache, key, packed)
     return packed

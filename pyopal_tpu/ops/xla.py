@@ -90,18 +90,17 @@ def search_block(prof_t, targets, lengths, go, ge, algorithm):
         valid = (j <= lengths) & (lengths > 0)
 
         # profile lookup as a one-hot contraction — rides the MXU on
-        # TPU instead of lowering to a (slow) gather; f32 is exact for
-        # the small integer score domain
+        # TPU instead of lowering to a (slow) gather; an INTEGER
+        # contraction, because this engine is the exactness fallback
+        # and an f32 dot would round matrix entries >= 2**24
         onehot = (
             sym[None, :] == jnp.arange(A, dtype=jnp.int32)[:, None]
-        ).astype(jnp.float32)  # (A, B)
-        prof_col = (
-            jnp.dot(
-                prof_t.astype(jnp.float32),
-                onehot,
-                preferred_element_type=jnp.float32,
-            )
-        ).astype(jnp.int32)  # (Q, B)
+        ).astype(jnp.int32)  # (A, B)
+        prof_col = jnp.dot(
+            prof_t,
+            onehot,
+            preferred_element_type=jnp.int32,
+        )  # (Q, B)
 
         E_new = jnp.maximum(H - go, E - ge)  # (Q+1, B)
 

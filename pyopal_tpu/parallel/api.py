@@ -46,8 +46,9 @@ def _pack_sharded_cached(database, seqs, n_shards, lanes):
     if cache is not None and key in cache:
         return cache[key]
     packed = sfm.pack_flat_sharded(seqs, n_shards, lanes=lanes)
-    if cache is not None:
-        cache[key] = packed
+    from ..ops.packing import _cache_put
+
+    _cache_put(cache, key, packed)
     return packed
 
 

@@ -119,6 +119,35 @@ def pack_flat_sharded(
     )
 
 
+
+def _device_arrays(sf: ShardedFlat, mesh):
+    """Mesh-sharded device copies of a pack's arrays, cached on the
+    object (the mesh analog of ``engine._flat_device``): repeat
+    searches against an unchanged database must not re-cross the host
+    link with the full packed payload on every call."""
+    cache = getattr(sf, "_dev", None)
+    if cache is None:
+        cache = {}
+        sf._dev = cache
+    key = (tuple(mesh.axis_names), tuple(d.id for d in mesh.devices.flat))
+    hit = cache.get(key)
+    if hit is None:
+
+        def put(x, spec):
+            return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+        hit = (
+            put(sf.flat_targets, P(DB_AXIS, None, None)),
+            put(sf.lengths, P(DB_AXIS, None, None, None)),
+            put(sf.block_of_step, P(DB_AXIS, None)),
+            put(sf.chunk_of_step, P(DB_AXIS, None)),
+            put(sf.last_of_step, P(DB_AXIS, None)),
+        )
+        cache.clear()  # one mesh at a time; avoid pinning stale HBM
+        cache[key] = hit
+    return hit
+
+
 def sharded_search_flat(
     mesh,
     profs,
@@ -187,20 +216,18 @@ def sharded_search_flat(
     def put(x, spec):
         return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
 
-    flat_t = put(sf.flat_targets, P(DB_AXIS, None, None))
-    lengths = put(sf.lengths, P(DB_AXIS, None, None, None))
-    bos = put(sf.block_of_step, P(DB_AXIS, None))
-    cos = put(sf.chunk_of_step, P(DB_AXIS, None))
-    los = put(sf.last_of_step, P(DB_AXIS, None))
+    flat_t, lengths, bos, cos, los = _device_arrays(sf, mesh)
     profs_r = put(profs, P(None, None, None))
     qlens_r = put(qlens, P(None))
 
     s, qe, te = fn(profs_r, qlens_r, flat_t, lengths, bos, cos, los)
-    # (n_shards, n_q, nblk_max, LANES) -> global target order; one
+    # (n_shards, n_q, nblk_max, lanes) -> global target order; one
     # gathered readback for all three planes (separate np.asarray
-    # calls pay the host-link base RTT three times)
+    # calls pay the host-link base RTT three times).  The lane width
+    # comes from the pack itself (q8 packs are 256/512 wide).
     stacked = np.asarray(jnp.stack([s, qe, te], axis=0))
-    flatpos = sf.inv_shard * (nblk_max * LANES) + sf.inv_pos
+    lanes = sf.flat_targets.shape[2]
+    flatpos = sf.inv_shard * (nblk_max * lanes) + sf.inv_pos
     out = stacked.transpose(0, 2, 1, 3, 4).reshape(3, n_q, -1)[
         :, :, flatpos
     ]
@@ -280,11 +307,7 @@ def sharded_search_flat_q8(
     def put(x, spec):
         return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
 
-    flat_t = put(sf.flat_targets, P(DB_AXIS, None, None))
-    lengths = put(sf.lengths, P(DB_AXIS, None, None, None))
-    bos = put(sf.block_of_step, P(DB_AXIS, None))
-    cos = put(sf.chunk_of_step, P(DB_AXIS, None))
-    los = put(sf.last_of_step, P(DB_AXIS, None))
+    flat_t, lengths, bos, cos, los = _device_arrays(sf, mesh)
     profs_r = put(profs, P(None, None, None))
     qv_r = put(qv, P(None, None, None))
     maxq_r = put(maxq, P(None))

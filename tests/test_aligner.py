@@ -349,3 +349,53 @@ class TestAlignEdges:
             assert [h.score for h in hits] == [0, 0, 0]
             assert all(h.alignment == "" for h in hits)
         assert all(h.query_length == 0 for h in hits)
+
+
+class TestSliceValidation:
+    """Negative offsets must be rejected, not wrapped Python-style
+    (wrapping silently duplicated targets with bogus indices)."""
+
+    def test_negative_start_rejected_everywhere(self):
+        import pyopal_tpu as po
+
+        db = po.Database(["AACCGCTG", "ATGCGCT", "TTATTACG"])
+        al = po.Aligner()
+        with pytest.raises(IndexError):
+            al.align("ACCTG", db, start=-2)
+        with pytest.raises(IndexError):
+            al.align_top_k("ACCTG", db, start=-1)
+        with pytest.raises(IndexError):
+            al.align_batch(["ACCTG"], db, start=-1)
+        with pytest.raises(IndexError):
+            al.align_arrays(["ACCTG"], db, start=-1)
+
+    def test_arrays_empty_slice_keeps_end_keys(self):
+        import pyopal_tpu as po
+
+        db = po.Database(["AACCGCTG"])
+        out = po.Aligner().align_arrays(
+            ["ACCTG"], db, mode="end", start=5
+        )
+        assert out["scores"].shape == (1, 0)
+        assert out["query_ends"].shape == (1, 0)
+        assert out["target_ends"].shape == (1, 0)
+
+    def test_batch_accepts_iterator_queries(self):
+        import pyopal_tpu as po
+
+        db = po.Database(["AACCGCTG", "ATGCGCT"])
+        al = po.Aligner()
+        want = al.align_batch(["ACCTG", "TTAT"], db)
+        got = al.align_batch(iter(["ACCTG", "TTAT"]), db)
+        assert [[r.score for r in row] for row in got] == [
+            [r.score for r in row] for row in want
+        ]
+        # empty-slice early return sizes by the materialized queries
+        rows = al.align_batch(iter(["ACCTG", "TTAT"]), db, start=2)
+        assert rows == [[], []]
+
+    def test_threads_negative_raises(self):
+        import pyopal_tpu as po
+
+        with pytest.raises(ValueError):
+            list(po.align("ACCTG", ["AACCGCTG"], threads=-1))

@@ -517,3 +517,31 @@ def test_host_walk_mirrors_device_walk():
                 want = naive.traceback(q, t, S, go, ge, algo)
                 assert (qs, ts) == (want[1], want[2]), (go, ge, algo, k)
                 assert np.array_equal(ops, want[5]), (go, ge, algo, k)
+
+
+def test_xla_engine_exact_beyond_fp32_window():
+    """The XLA engine is the exactness fallback: matrix entries past
+    2**24 (where an f32 one-hot dot rounds) must score exactly."""
+    import jax.numpy as jnp
+
+    big = 2**24 + 3
+    mat = np.full((4, 4), -1, np.int32)
+    np.fill_diagonal(mat, big)
+    q = np.array([0, 1, 2], np.uint8)
+    t = np.array([0, 1, 2], np.uint8)
+    s, qe, te = naive.score_end(q, t, mat, 3, 1, "sw")
+    assert s == 3 * big
+    prof = xla.make_profile_t(q, mat)
+    got_s, got_qe, got_te = (
+        np.asarray(x)
+        for x in xla.search_block(
+            jnp.asarray(prof),
+            jnp.asarray(t[:, None].astype(np.int32)),
+            jnp.asarray(np.array([3], np.int32)),
+            3,
+            1,
+            "sw",
+        )
+    )
+    assert int(got_s[0]) == 3 * big
+    assert (int(got_qe[0]), int(got_te[0])) == (qe, te)

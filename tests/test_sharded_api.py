@@ -203,3 +203,38 @@ def test_negative_gap_parameters_fall_back():
     db = _random_db(4, 5, 15, seed=76)
     queries = _random_queries(2, 4, 8, seed=77)
     _check(queries, db, gap_open=-2, gap_extend=-1, algorithm="sw")
+
+
+def test_sharded_search_flat_nondefault_lanes():
+    # direct use of the v2 mesh launch with a wide pack: the gather
+    # permutation must derive the lane width from the pack, not the
+    # 128-lane module constant
+    import jax
+    import jax.numpy as jnp
+
+    from pyopal_tpu.ops import naive, pallas_ragged as pr
+    from pyopal_tpu.parallel import sharded_flat as sfm
+    from pyopal_tpu.parallel.mesh import device_mesh
+
+    rng = np.random.default_rng(81)
+    al = po.Aligner()
+    S = al.scoring_matrix.int_data()
+    seqs = [
+        rng.integers(0, 20, int(L)).astype(np.uint8)
+        for L in rng.integers(3, 40, 10)
+    ]
+    q = rng.integers(0, 20, 12).astype(np.uint8)
+    sf = sfm.pack_flat_sharded(seqs, n_shards=8, lanes=256)
+    profs = jnp.asarray(
+        pr.make_profiles_host([q], S), jnp.bfloat16
+    )
+    qlens = jnp.asarray(np.array([len(q)], np.int32))
+    s, qe, te = sfm.sharded_search_flat(
+        device_mesh(), profs, qlens, sf, 3, 1, "sw",
+        with_ends=True, interpret=True, safe_pad=True,
+    )
+    for i, t in enumerate(seqs):
+        ws, wqe, wte = naive.score_end(q, t, S, 3, 1, "sw")
+        assert (int(s[0, i]), int(qe[0, i]), int(te[0, i])) == (
+            ws, wqe, wte,
+        ), i
