@@ -110,6 +110,15 @@ reduce_args(PyObject *obj)
     PyObject *red = PyObject_CallMethod(obj, "__reduce__", NULL);
     if (red == NULL)
         return NULL;
+    /* __reduce__ may legally return a string or a short tuple
+     * (subclass overrides); only the (callable, args, ...) form is
+     * comparable here */
+    if (!PyTuple_Check(red) || PyTuple_GET_SIZE(red) < 2) {
+        Py_DECREF(red);
+        PyErr_SetString(PyExc_TypeError,
+                        "__reduce__ did not return (callable, args)");
+        return NULL;
+    }
     PyObject *args = PyTuple_GetItem(red, 1);
     Py_XINCREF(args);
     Py_DECREF(red);

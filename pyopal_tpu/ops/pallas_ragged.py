@@ -42,9 +42,7 @@ from .pallas_kernel import (
     PAD_SCORE,
     _cummax,
     _first_argmax,
-    _round_up,
     _shift_down,
-    make_profile_host,
 )
 
 LANES = 128
@@ -1055,6 +1053,10 @@ def search_flat(
             "32-letter matrices (see engine.search_scores_batch)"
         )
     strip = min(strip or STRIP, Q_pad)
+    if Q_pad % strip:
+        raise ValueError(
+            f"strip {strip} must divide the query tier {Q_pad}"
+        )
     if use_v2:
         unroll = min(unroll, 8)
     elif strip_mode:

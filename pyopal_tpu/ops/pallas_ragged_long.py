@@ -120,8 +120,6 @@ def _seg_kernel(
         Qf = Q.astype(jnp.float32)
         if spec.track_terminal:
             cap0 = -(gof + (Qf - 1.0) * gef)
-        elif spec.track_last_row and spec.penalize_first_col:
-            cap0 = NEG
         else:
             cap0 = NEG
         if spec.track_last_row:
@@ -131,7 +129,6 @@ def _seg_kernel(
                 best0 = jnp.float32(0.0)
         else:
             best0 = jnp.float32(0.0)
-        fs = jnp.full((1, L), 0.0, jnp.float32)
         trk_f_ref[0:1, :] = jnp.where(
             first_seg, jnp.full((1, L), best0, jnp.float32), tf_in_ref[0, 0:1, :]
         )
@@ -142,6 +139,9 @@ def _seg_kernel(
         trk_i_ref[0:1, :] = jnp.where(first_seg, neg1, ti_in_ref[0, 0:1, :])
         trk_i_ref[1:2, :] = jnp.where(first_seg, neg1, ti_in_ref[0, 1:2, :])
         trk_i_ref[2:3, :] = jnp.where(first_seg, neg1, ti_in_ref[0, 2:3, :])
+        # row 3 is carry padding (the buffer is 8 sublanes tall): pin
+        # it so the persisted carry never holds uninitialized VMEM
+        trk_i_ref[3:4, :] = neg1
 
     alpha_iota = jax.lax.broadcasted_iota(jnp.int32, (ALPHA, L), 0)
     prof = prof_ref[:]

@@ -9,10 +9,20 @@ from __future__ import annotations
 
 import os
 
-_DEFAULT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(__file__))),
-    ".jax_cache",
-)
+_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(__file__)))
+if os.path.exists(os.path.join(_ROOT, "setup.py")):
+    # source checkout: keep the cache next to the repo (gitignored)
+    _DEFAULT_DIR = os.path.join(_ROOT, ".jax_cache")
+else:
+    # installed package: site-packages may be read-only and should not
+    # accumulate compiled binaries — use the user cache dir
+    _DEFAULT_DIR = os.path.join(
+        os.environ.get(
+            "XDG_CACHE_HOME", os.path.join(os.path.expanduser("~"), ".cache")
+        ),
+        "pyopal_tpu",
+        "jax_cache",
+    )
 
 _enabled = False
 

@@ -19,7 +19,7 @@ def _device_info():
     except Exception as exc:  # pragma: no cover
         return {"backend": None, "error": str(exc)}
 
-    from ..ops import pallas_kernel
+    from ..ops import pallas_ragged
 
     try:
         from pyopal_tpu.native import _encoder  # noqa: F401
@@ -38,7 +38,11 @@ def _device_info():
         "engines": {
             "pallas": {
                 "available": backend == "tpu",
-                "max_query_len": pallas_kernel.MAX_QPAD,
+                # what the dispatcher actually routes: the strip/v2
+                # ragged kernels up to this tier, the segmented
+                # long-query kernel (unbounded) beyond it
+                "max_query_len": pallas_ragged.RAGGED_MAX_QPAD_STRIP,
+                "long_queries": "segmented (unbounded)",
             },
             "xla": {"available": True},
             "native_encoder": {"available": native},

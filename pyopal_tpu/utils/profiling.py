@@ -18,6 +18,12 @@ import time
 
 def gcups(query_len: int, total_target_residues: int, seconds: float) -> float:
     """Giga cell updates per second for one search pass."""
+    if seconds is None:
+        raise RuntimeError(
+            "timer has not exited yet (seconds is unset)"
+        )
+    if seconds == 0.0:
+        return float("inf")
     return query_len * total_target_residues / seconds / 1e9
 
 

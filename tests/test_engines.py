@@ -282,7 +282,8 @@ def test_ragged_flat_strip_matches_naive():
     nw row-0 boundary chain entering through the strip-0 Cin);
     cross-checked against the scalar oracle on targets spanning
     multiple 64-column chunks, including an empty lane.  sw runs both
-    the bestvec (safe_pad) and the tracked (colmax) variants.
+    routes: safe_pad=True (the unified v2 kernel) and safe_pad=False
+    (the v1 strip kernel with per-column reductions).
     """
     import jax.numpy as jnp
     from pyopal_tpu.ops import pallas_ragged as pr
