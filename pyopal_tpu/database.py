@@ -328,8 +328,9 @@ class Database(BaseDatabase):
     def insert(self, index, sequence) -> None:
         """Insert a sequence before position ``index``.
 
-        If the insertion index is out of bounds, the insertion will
-        happen at either end of the database::
+        Out-of-range indices clamp instead of raising, exactly like
+        `list.insert`: a large negative ``index`` prepends, a large
+        positive one appends::
 
             >>> db = Database(["ATGC", "TTGC", "CTGC"])
             >>> db.insert(-100, "TTTT")
@@ -358,8 +359,13 @@ class Database(BaseDatabase):
     def mask(self, bitmask) -> "Database":
         """Build a sub-database of the positions where ``bitmask`` is `True`.
 
+        The selected sequences are shared with this database, not
+        copied — subsetting a multi-gigabyte database is O(selection),
+        not O(bytes).
+
         Raises:
-            `IndexError`: When the bitmask has a different dimension.
+            `IndexError`: When ``bitmask`` is shorter or longer than
+                the database.
 
         Example:
             >>> db = Database(['AAAA', 'CCCC', 'KKKK', 'FFFF'])
@@ -388,16 +394,20 @@ class Database(BaseDatabase):
     def extract(self, indices) -> "Database":
         """Build a sub-database from the sequences at ``indices``, in order.
 
+        Like `mask`, the underlying encoded sequences are shared
+        rather than copied.  Indices may repeat; the result follows
+        the order of ``indices``, and negative indices are rejected
+        (they would be ambiguous in a hit list keyed by global target
+        index).
+
         Raises:
-            `IndexError`: When ``indices`` contains an invalid index.
+            `IndexError`: When ``indices`` holds a negative or
+                out-of-range value.
 
         Example:
             >>> db = Database(['AAAA', 'CCCC', 'KKKK', 'FFFF'])
             >>> list(db.extract([2, 0]))
             ['KKKK', 'AAAA']
-
-        Caution:
-            Negative indexing is not supported.
 
         """
         subdb = Database.__new__(Database)

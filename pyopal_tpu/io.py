@@ -146,9 +146,21 @@ def load_database(path):
         payload = f["payload"]
         lengths = f["lengths"]
         letters = f["alphabet"].tobytes().decode("ascii")
-        names = (
-            [str(n) for n in f["names"]] if "names" in f else None
-        )
+        try:
+            names = (
+                [str(n) for n in f["names"]] if "names" in f else None
+            )
+        except ValueError as err:
+            if "Object arrays" not in str(err):
+                raise
+            # archives written before the pickle-free format stored
+            # names as an object array, which the safe loader refuses
+            raise ValueError(
+                f"{path!r} stores sequence names in the old pickled "
+                "format, which is no longer loaded for security; "
+                "regenerate the archive with save_database (e.g. load "
+                "the original FASTA with load_fasta and re-save)"
+            ) from err
 
     db = Database(alphabet=letters)
     offsets = np.concatenate([[0], np.cumsum(lengths)])

@@ -344,6 +344,12 @@ class ScoringMatrix:
     def from_name(cls, name: str) -> "ScoringMatrix":
         """Load one of the bundled matrices by name.
 
+        ``PAM`` names outside the transcribed anchor tables are
+        generated from the fitted Dayhoff chain (see
+        `ScoringMatrix.pam`): entries that fall within ~1e-4 of a
+        rounding boundary are not pinned by the anchors and may differ
+        by ±1 from NCBI's published files for those distances.
+
         Example:
             >>> m = ScoringMatrix.from_name("BLOSUM50")
             >>> m.name
@@ -388,6 +394,9 @@ class ScoringMatrix:
                 tables).  A handful of entries that fall within ~1e-4
                 of a rounding boundary are not pinned by the anchors
                 and may differ by ±1 from NCBI's files at other n.
+                Non-default denominators are recorded in the matrix
+                name as ``PAM{n}/{denominator}`` so the result is
+                never mistaken for the canonical table.
 
         Example:
             >>> ScoringMatrix.pam(250) == ScoringMatrix.from_name("PAM250")
@@ -396,8 +405,9 @@ class ScoringMatrix:
         """
         if not 1 <= n <= 500:
             raise ValueError(f"PAM distance out of range [1, 500]: {n}")
+        default_denominator = 2 if n <= 170 else 3
         if scale_denominator is None:
-            scale_denominator = 2 if n <= 170 else 3
+            scale_denominator = default_denominator
         else:
             if scale_denominator != int(scale_denominator):
                 raise ValueError(
@@ -410,11 +420,17 @@ class ScoringMatrix:
                     f"scale_denominator out of range [1, 8]: "
                     f"{scale_denominator!r}"
                 )
-        key = f"PAM{n}"
+        # a non-default scale produces different data than the
+        # canonical table of the same distance, so the deviation is
+        # encoded in the name (e.g. "PAM250/2" for half-bit PAM250)
+        if scale_denominator == default_denominator:
+            key = f"PAM{n}"
+        else:
+            key = f"PAM{n}/{scale_denominator}"
         # published anchors are served from the transcribed tables so
         # boundary entries are exactly NCBI's even if float rounding
         # ever drifted
-        if key in _TABLES and scale_denominator == (2 if n <= 170 else 3):
+        if key in _TABLES and scale_denominator == default_denominator:
             return cls(_parse(_TABLES[key]), _PROTEIN_ALPHABET, name=key)
         from ._pam_chain import pam_scores
 

@@ -450,6 +450,30 @@ def _search_batch_pallas(
     return scores, q_ends, t_ends
 
 
+def _device_arrays_trimmed(group: packing.PackedGroup):
+    """Like `_device_arrays`, but padding lanes beyond the group's
+    widest block are sliced off first (to a multiple of 8 lanes).
+
+    The 128-lane block width is a TPU vreg constraint; the XLA engine
+    vectorizes over however many lanes it is given, so a near-empty
+    block (e.g. a 3-sequence database) must not pay for 128 lanes of
+    DP — that is a 40x waste on the very path (CPU fallback) least
+    able to absorb it."""
+    used = int((group.indices >= 0).sum(axis=1).max(initial=0))
+    width = max(-(-used // 8) * 8, 8)
+    if width >= group.targets.shape[2]:
+        return _device_arrays(group)
+    dev = getattr(group, "_dev_trim", None)
+    if dev is None:
+        dev = (
+            jax.device_put(group.targets[:, :, :width].astype(np.int32)),
+            jax.device_put(group.lengths[:, :width]),
+            jax.device_put(group.indices[:, :width]),
+        )
+        group._dev_trim = dev
+    return dev
+
+
 def _search_batch_xla(
     database, start, end, queries_enc, matrix, go, ge, algorithm, with_ends
 ):
@@ -464,14 +488,16 @@ def _search_batch_xla(
     for qi, query_enc in enumerate(queries_enc):
         prof = xla.make_profile_t(query_enc, matrix)
         for group in packed.groups:
-            targets, lengths, indices = _device_arrays(group)
+            targets, lengths, indices = _device_arrays_trimmed(group)
             s, qe, te = _run_group_xla(
                 prof, targets, lengths, go, ge, algorithm
             )
             s = np.asarray(s).reshape(-1)
             qe = np.asarray(qe).reshape(-1)
             te = np.asarray(te).reshape(-1)
-            idx = group.indices.reshape(-1)
+            # indices from the (possibly lane-trimmed) device arrays,
+            # not group.indices: shapes must match the outputs
+            idx = np.asarray(indices).reshape(-1)
             valid = idx >= 0
             scores[qi, idx[valid]] = s[valid]
             q_ends[qi, idx[valid]] = qe[valid]

@@ -19,3 +19,13 @@ import jax
 
 # the sandbox sitecustomize pins JAX_PLATFORMS=axon; override explicitly
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: the oracle cross-check tests compile
+# many interpret-mode kernel variants (~3 s each); caching them makes
+# repeat suite runs dominated by actual test work instead
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("PYOPAL_TPU_TEST_JAX_CACHE", "/tmp/pyopal_tpu_jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

@@ -77,7 +77,10 @@ class _TestSearchOverflow:
             assert isinstance(res.score, int)
 
     def test_overflow(self):
-        self._check(self._proteins(8000))
+        # the envelope's endpoints only (1000 and 35000): the quick
+        # variant checks the long-sequence path is live; the dense
+        # slow variant covers every tier crossing in between
+        self._check(self._proteins(34000))
 
     @pytest.mark.slow
     def test_overflow_dense(self):

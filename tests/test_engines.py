@@ -363,8 +363,11 @@ def test_ragged_v2_multistrip_ends_match_naive():
     qlens = jnp.asarray([len(q) for q in queries], jnp.int32)
     assert profs.shape[1] > pr.STRIP  # multi-strip
 
+    # (3, 1) is the production shape; (0, 0) maximizes score ties and
+    # so stresses the finalize tie-breaking the hardest.  (1, 3) adds
+    # nothing the score-only multistrip test doesn't already cover.
     for algo in ALGOS:
-        for go, ge in [(3, 1), (1, 3), (0, 0)]:
+        for go, ge in [(3, 1), (0, 0)]:
             s, qe, te = pr.search_flat(
                 profs, qlens, flat_t, lengths, bos, cos, los,
                 go, ge, algo, True, interpret=True,
