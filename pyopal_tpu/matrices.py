@@ -297,6 +297,12 @@ _TABLES = {
 """,
 }
 
+# the granular BLOSUM clustering series (30..100) lives in its own
+# module to keep this one readable
+from ._blosum_extra import EXTRA_TABLES as _EXTRA_TABLES
+
+_TABLES.update(_EXTRA_TABLES)
+
 
 #: runtime catalog of user-registered matrices (`ScoringMatrix.register`)
 _REGISTERED: dict = {}

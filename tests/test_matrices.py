@@ -254,3 +254,59 @@ def test_pam_scale_denominator_must_be_integral():
     assert ScoringMatrix.pam(100, scale_denominator=2.0) == (
         ScoringMatrix.pam(100, scale_denominator=2)
     )
+
+
+def test_blosum_granular_series():
+    """The extended Henikoff clustering series is bundled and sound.
+
+    Full-catalog parity item (the reference rides the external
+    ``scoring-matrices`` package, ``/root/reference/pyproject.toml:44-46``).
+    Diagonals pin each table's published identity scores; the
+    entrywise +-1 closeness to the same-scale core anchors pins the
+    family's smoothness in the clustering threshold.
+    """
+    AL = "ARNDCQEGHILKMFPSTWYVBZX*"
+    diag_pins = {
+        # name: (A, C, H, P, W, star)
+        "BLOSUM30": (4, 17, 14, 11, 20, 1),
+        "BLOSUM35": (5, 15, 12, 10, 16, 1),
+        "BLOSUM40": (5, 16, 13, 11, 19, 1),
+        "BLOSUM60": (4, 9, 7, 7, 10, 1),
+        "BLOSUM65": (4, 9, 8, 8, 10, 1),
+        "BLOSUM70": (4, 9, 8, 8, 11, 1),
+        "BLOSUM75": (4, 9, 8, 8, 11, 1),
+        "BLOSUM85": (5, 9, 8, 8, 11, 1),
+        "BLOSUM100": (8, 14, 13, 12, 17, 1),
+    }
+    for name, (a, c, h, p, w, star) in diag_pins.items():
+        m = ScoringMatrix.from_name(name)
+        assert m.alphabet == AL
+        assert m.is_integer() and m.is_symmetric(), name
+        d = m.data
+        g = lambda x: int(d[AL.index(x), AL.index(x)])
+        assert (g("A"), g("C"), g("H"), g("P"), g("W"), g("*")) == (
+            a, c, h, p, w, star
+        ), name
+
+    # same-scale neighbors move entrywise by at most 1 on the 20x20 core
+    for a, b in [
+        ("BLOSUM60", "BLOSUM62"),
+        ("BLOSUM65", "BLOSUM62"),
+        ("BLOSUM70", "BLOSUM62"),
+        ("BLOSUM70", "BLOSUM80"),
+        ("BLOSUM75", "BLOSUM80"),
+        ("BLOSUM85", "BLOSUM80"),
+        ("BLOSUM85", "BLOSUM90"),
+    ]:
+        da = ScoringMatrix.from_name(a).data[:20, :20]
+        db = ScoringMatrix.from_name(b).data[:20, :20]
+        assert np.abs(da - db).max() <= 1, (a, b)
+
+
+def test_pam_nondefault_scale_name():
+    # a non-default scale denominator is encoded in the name so the
+    # result is never mistaken for the canonical published table
+    m = ScoringMatrix.pam(250, scale_denominator=2)
+    assert m.name == "PAM250/2"
+    assert ScoringMatrix.pam(250).name == "PAM250"
+    assert not np.array_equal(m.data, ScoringMatrix.pam(250).data)
