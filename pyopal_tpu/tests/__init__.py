@@ -6,16 +6,38 @@ Mirrors the reference's in-wheel test package
 
     python -m unittest pyopal_tpu.tests
 
-This is a compact smoke suite (golden answers, container semantics,
-result classes) that needs no test data; the full development suite
-lives in the repository's ``tests/`` directory.
+Coverage on an installed artifact: golden answers (the reference
+suite's pinned numbers), container and alphabet semantics, result
+classes, the threaded front-end, the matrix catalog, and one
+interpret-mode kernel cross-check against the scalar oracle.  The
+full development suite (engine sweeps, sharded mesh equality, IO,
+docs) lives in the repository's ``tests/`` directory.
 """
 
 import unittest
 
-from . import test_smoke
+from . import (
+    test_align,
+    test_alphabet,
+    test_database,
+    test_engine,
+    test_matrices,
+    test_result,
+    test_smoke,
+)
+
+_MODULES = [
+    test_smoke,
+    test_align,
+    test_alphabet,
+    test_database,
+    test_engine,
+    test_matrices,
+    test_result,
+]
 
 
 def load_tests(loader, suite, pattern):
-    suite.addTests(loader.loadTestsFromModule(test_smoke))
+    for module in _MODULES:
+        suite.addTests(loader.loadTestsFromModule(module))
     return suite
