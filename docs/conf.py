@@ -32,16 +32,30 @@ extensions = [
     "sphinx.ext.viewcode",
 ]
 
-# The example workflow is markdown (docs/examples/workflow.md);
-# render it when myst is available (it is on readthedocs via
-# docs/requirements.txt).
+# The example workflow ships as markdown (docs/examples/workflow.md)
+# and as an executed notebook (workflow.ipynb).  With myst-nb
+# available (CI + readthedocs, via docs/requirements.txt) the
+# notebook is re-EXECUTED during the -W build and any error fails the
+# build, so the committed outputs cannot drift from the code; with
+# only myst-parser, the markdown page renders; with neither, both are
+# excluded so the build still succeeds.
+_HAVE_MYST = _HAVE_NB = False
 try:
-    import myst_parser  # noqa: F401
+    import myst_nb  # noqa: F401
 
-    extensions.append("myst_parser")
-    _HAVE_MYST = True
+    extensions.append("myst_nb")
+    _HAVE_MYST = _HAVE_NB = True
+    nb_execution_mode = "force"
+    nb_execution_raise_on_error = True
+    nb_execution_timeout = 600
 except ImportError:
-    _HAVE_MYST = False
+    try:
+        import myst_parser  # noqa: F401
+
+        extensions.append("myst_parser")
+        _HAVE_MYST = True
+    except ImportError:
+        pass
 
 autodoc_member_order = "groupwise"
 autodoc_typehints = "description"
@@ -57,6 +71,12 @@ templates_path = ["_templates"]
 exclude_patterns = ["_build", "Thumbs.db", ".DS_Store"]
 if not _HAVE_MYST:
     exclude_patterns.append("examples/*.md")
+if not _HAVE_NB:
+    exclude_patterns.append("examples/*.ipynb")
+else:
+    # the .md twin of the executed notebook would render as a
+    # duplicate page
+    exclude_patterns.append("examples/workflow.md")
 
 # Prefer the PyData theme (as the reference site uses) when it is
 # installed; fall back to a builtin theme so the docs always build.

@@ -17,6 +17,9 @@ pass, so overflow cannot occur and ``OverflowError`` is never raised.
 
 from __future__ import annotations
 
+import itertools
+import threading
+
 import numpy as np
 
 from .alphabet import Alphabet
@@ -409,3 +412,158 @@ class Aligner:
             "query_ends": q_ends,
             "target_ends": t_ends,
         }
+
+    def align_many(
+        self,
+        queries,
+        database,
+        *,
+        mode: str = "score",
+        overflow: str = "buckets",
+        algorithm: str = "sw",
+        start: int = 0,
+        end: int = UINT32_MAX,
+        batch_size: int = 32,
+    ):
+        """Stream result lists for a sequence of queries, pipelined.
+
+        A lazy generator over ``queries``: queries are pulled and
+        dispatched in micro-batches of ``batch_size`` (each batch is
+        one fused device dispatch + ONE readback, exactly like
+        `align_batch`), and per-query result lists are yielded in
+        order.  On a remote-attached device this amortizes the
+        per-readback link round trip — the dominant cost of
+        interactive single-query calls — across the stream: N queries
+        cost ``ceil(N / batch_size)`` round trips instead of N.
+
+        Semantically equivalent to ``(self.align(q, database, ...)
+        for q in queries)`` except that each batch reflects the
+        database state when its first result is pulled.  ``score`` and
+        ``end`` modes only.
+        """
+        if batch_size < 1:
+            raise ValueError(f"invalid batch_size: {batch_size!r}")
+        it = iter(queries)
+        while True:
+            chunk = list(itertools.islice(it, batch_size))
+            if not chunk:
+                return
+            yield from self.align_batch(
+                chunk,
+                database,
+                mode=mode,
+                overflow=overflow,
+                algorithm=algorithm,
+                start=start,
+                end=end,
+            )
+
+    def align_async(
+        self,
+        query,
+        database,
+        *,
+        mode: str = "score",
+        overflow: str = "buckets",
+        algorithm: str = "sw",
+        start: int = 0,
+        end: int = UINT32_MAX,
+    ) -> "AlignFuture":
+        """Enqueue a query; resolve later, batched with its neighbors.
+
+        Returns an `AlignFuture` whose ``result()`` yields the same
+        list `align` returns.  All futures created with identical
+        parameters against the same database form one pending stream
+        on this aligner: the first ``result()`` call flushes every
+        pending query of that stream as a single fused dispatch + one
+        readback (`align_batch`).  An interactive caller that submits
+        N queries and then resolves them therefore pays one link round
+        trip, not N — the async analog of the reference's primary call
+        (``/root/reference/src/pyopal/lib.pyx:1258``) for
+        remote-attached devices.
+
+        Validation happens at submit time; the search itself runs at
+        flush time, under the database read lock, reflecting the
+        database state then (standard future semantics).
+        """
+        if mode not in ("score", "end"):
+            raise ValueError(f"invalid batch search mode: {mode!r}")
+        if overflow not in _OVERFLOW_MODES:
+            raise ValueError(f"invalid overflow mode: {overflow!r}")
+        if algorithm not in _ALGORITHMS:
+            raise ValueError(f"invalid algorithm: {algorithm!r}")
+        if database.alphabet != self.alphabet:
+            raise ValueError(
+                "database and score matrix have different alphabets"
+            )
+        # encode eagerly: bad symbols raise here, not at flush
+        database.alphabet.encode(query)
+        key = (id(database), mode, algorithm, start, end)
+        streams = self.__dict__.setdefault("_async_streams", {})
+        stream = streams.get(key)
+        if stream is None:
+            stream = _AsyncStream(self, database, mode, algorithm, start, end)
+            streams[key] = stream
+        return stream.submit(query)
+
+
+class _AsyncStream:
+    """Pending queries sharing one (database, params) stream."""
+
+    def __init__(self, aligner, database, mode, algorithm, start, end):
+        self.aligner = aligner
+        self.database = database
+        self.mode = mode
+        self.algorithm = algorithm
+        self.start = start
+        self.end = end
+        self.pending: list = []
+        self._lock = threading.Lock()
+
+    def submit(self, query) -> "AlignFuture":
+        fut = AlignFuture(self)
+        with self._lock:
+            self.pending.append((fut, query))
+        return fut
+
+    def flush(self) -> None:
+        with self._lock:
+            batch, self.pending = self.pending, []
+        if not batch:
+            return
+        results = self.aligner.align_batch(
+            [q for _, q in batch],
+            self.database,
+            mode=self.mode,
+            algorithm=self.algorithm,
+            start=self.start,
+            end=self.end,
+        )
+        for (fut, _), res in zip(batch, results):
+            fut._set(res)
+
+
+class AlignFuture:
+    """Deferred result of `Aligner.align_async`."""
+
+    __slots__ = ("_stream", "_result", "_done")
+
+    def __init__(self, stream):
+        self._stream = stream
+        self._result = None
+        self._done = False
+
+    def done(self) -> bool:
+        """Whether the result is already materialized."""
+        return self._done
+
+    def result(self):
+        """The result list, flushing the pending stream if needed."""
+        if not self._done:
+            self._stream.flush()
+        assert self._done
+        return self._result
+
+    def _set(self, res):
+        self._result = res
+        self._done = True

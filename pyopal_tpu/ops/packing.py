@@ -133,7 +133,7 @@ class FlatPacked:
 
     n_targets: int
     n_blocks: int
-    flat_targets: np.ndarray  # (total_rows, LANES) int32
+    flat_targets: np.ndarray  # (total_rows, LANES) uint8 symbols
     lengths: np.ndarray  # (n_blocks, 1, LANES) int32
     indices: np.ndarray  # (n_blocks, LANES) int32, -1 = padding lane
     block_of_step: np.ndarray  # (n_steps,) int32
@@ -152,72 +152,134 @@ class FlatPacked:
         return int(self.lengths.sum())
 
 
-def pack_sequences_flat(
-    sequences, lanes: int = LANES, chunk: int = 64
-) -> FlatPacked:
-    """Pack encoded sequences into the flat ragged-kernel layout."""
-    n = len(sequences)
+@dataclass
+class FlatLayout:
+    """The metadata half of a `FlatPacked`: everything derivable from
+    the *lengths* alone (block assignment, padded shapes, step maps,
+    index permutations) without touching sequence payloads.
+
+    Splitting layout from fill lets a multi-host pack compute the
+    global plan everywhere (it is O(n) small) while each process fills
+    payload arrays only for its own shards
+    (`pyopal_tpu.parallel.sharded_flat`).
+    """
+
+    n_targets: int
+    n_blocks: int
+    total_rows: int
+    blocks: list  # per block: list of target indices (lane order)
+    t_pads: list  # per block: padded row count
+    lengths: np.ndarray  # (n_blocks, 1, lanes) int32
+    indices: np.ndarray  # (n_blocks, lanes) int32, -1 = padding lane
+    block_of_step: np.ndarray
+    chunk_of_step: np.ndarray
+    last_of_step: np.ndarray
+    inv_pos: np.ndarray
+    lanes: int
+    chunk: int
+
+
+def flat_layout(
+    seq_lengths, lanes: int = LANES, chunk: int = 64
+) -> FlatLayout:
+    """Compute the flat layout for targets of the given lengths."""
+    n = len(seq_lengths)
     if n == 0:
-        return FlatPacked(
-            0,
-            0,
-            np.zeros((0, lanes), np.int32),
+        z = np.zeros(0, np.int32)
+        return FlatLayout(
+            0, 0, 0, [], [],
             np.zeros((0, 1, lanes), np.int32),
             np.zeros((0, lanes), np.int32),
-            np.zeros(0, np.int32),
-            np.zeros(0, np.int32),
-            np.zeros(0, np.int32),
-            np.zeros(0, np.int32),
+            z, z, z, z, lanes, chunk,
         )
 
-    order = sorted(range(n), key=lambda i: len(sequences[i]))
+    order = sorted(range(n), key=lambda i: seq_lengths[i])
     blocks = [order[s : s + lanes] for s in range(0, n, lanes)]
     n_blocks = len(blocks)
 
     t_pads = []
     for chunk_ids in blocks:
-        max_len = max(len(sequences[i]) for i in chunk_ids)
+        max_len = max(seq_lengths[i] for i in chunk_ids)
         t_pads.append(-(-max(max_len, 1) // chunk) * chunk)
     total_rows = sum(t_pads)
 
-    # pad with symbol 31: when the alphabet has <= 31 letters, profile
-    # column 31 is PAD_SCORE, so padded columns decay under the SW clamp
-    # and the ragged kernel's bestvec tracking needs no validity masks
-    # (fp32 paths mask by per-lane lengths and ignore the pad value)
-    flat = np.full((total_rows, lanes), 31, dtype=np.int32)
     lengths = np.zeros((n_blocks, 1, lanes), dtype=np.int32)
     indices = np.full((n_blocks, lanes), -1, dtype=np.int32)
     bos, cos, los = [], [], []
-    row = 0
     for b, chunk_ids in enumerate(blocks):
-        t_pad = t_pads[b]
         for lane, i in enumerate(chunk_ids):
-            seq = sequences[i]
-            flat[row : row + seq.shape[0], lane] = seq
-            lengths[b, 0, lane] = seq.shape[0]
+            lengths[b, 0, lane] = seq_lengths[i]
             indices[b, lane] = i
-        n_chunks = t_pad // chunk
+        n_chunks = t_pads[b] // chunk
         for ci in range(n_chunks):
             bos.append(b)
             cos.append(ci)
             los.append(1 if ci == n_chunks - 1 else 0)
-        row += t_pad
 
     inv_pos = np.zeros(n, dtype=np.int32)
     flat_idx = indices.reshape(-1)
     valid = flat_idx >= 0
     inv_pos[flat_idx[valid]] = np.nonzero(valid)[0].astype(np.int32)
 
-    return FlatPacked(
+    return FlatLayout(
         n,
         n_blocks,
-        flat,
+        total_rows,
+        blocks,
+        t_pads,
         lengths,
         indices,
         np.asarray(bos, np.int32),
         np.asarray(cos, np.int32),
         np.asarray(los, np.int32),
         inv_pos,
+        lanes,
+        chunk,
+    )
+
+
+def fill_flat_payload(
+    layout: FlatLayout, sequences, dtype=np.uint8
+) -> np.ndarray:
+    """Build the ``(total_rows, lanes)`` symbol array for a layout.
+
+    The payload is uint8 — encoded symbols occupy 5 bits — so a
+    packed database costs one byte per residue on the host, on the
+    wire, and resident in HBM; the kernels widen to int32 lanes with
+    one XLA cast at launch (in-kernel narrow loads are not lowerable
+    on the current Mosaic toolchain: ``experiments/probe_u8_targets``).
+
+    Padding is symbol 31: when the alphabet has <= 31 letters, profile
+    column 31 is PAD_SCORE, so padded columns decay under the SW clamp
+    and the ragged kernel's bestvec tracking needs no validity masks
+    (fp32 paths mask by per-lane lengths and ignore the pad value).
+    """
+    flat = np.full((layout.total_rows, layout.lanes), 31, dtype=dtype)
+    row = 0
+    for b, chunk_ids in enumerate(layout.blocks):
+        for lane, i in enumerate(chunk_ids):
+            seq = sequences[i]
+            flat[row : row + seq.shape[0], lane] = seq
+        row += layout.t_pads[b]
+    return flat
+
+
+def pack_sequences_flat(
+    sequences, lanes: int = LANES, chunk: int = 64
+) -> FlatPacked:
+    """Pack encoded sequences into the flat ragged-kernel layout."""
+    layout = flat_layout([len(s) for s in sequences], lanes, chunk)
+    flat = fill_flat_payload(layout, sequences)
+    return FlatPacked(
+        layout.n_targets,
+        layout.n_blocks,
+        flat,
+        layout.lengths,
+        layout.indices,
+        layout.block_of_step,
+        layout.chunk_of_step,
+        layout.last_of_step,
+        layout.inv_pos,
         chunk,
     )
 

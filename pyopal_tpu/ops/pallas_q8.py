@@ -423,7 +423,7 @@ def search_flat_q8(
     profs,  # (n_groups, QB*Q_pad, 32) bf16, row-interleaved
     qv,  # (n_groups, QB, LANES) int32
     maxq,  # (n_groups,) int32
-    flat_targets,  # (total_rows, LANES) int32
+    flat_targets,  # (total_rows, LANES) uint8 or int32 symbols
     lengths,  # (n_blocks, 1, LANES) int32
     bos,
     cos,
@@ -445,6 +445,10 @@ def search_flat_q8(
     """
     n_g, rows8, _ = profs.shape
     Q_pad = rows8 // QB
+    # uint8 at-rest payload -> int32 lanes, one XLA cast at the launch
+    # boundary (narrow VMEM loads are not lowerable; see packing)
+    if flat_targets.dtype != jnp.int32:
+        flat_targets = flat_targets.astype(jnp.int32)
     n_steps = bos.shape[0]
     n_blocks = lengths.shape[0]
     lanes = flat_targets.shape[1]

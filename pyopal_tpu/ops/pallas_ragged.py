@@ -1007,7 +1007,7 @@ def _scratch_shapes(
 def search_flat(
     profs,  # (n_q, Q_pad, 32) bf16
     qlens,  # (n_q,) int32 true query lengths
-    flat_targets,  # (total_rows, LANES) int32
+    flat_targets,  # (total_rows, LANES) uint8 or int32 symbols
     lengths,  # (n_blocks, 1, LANES) int32
     bos,  # (n_steps,) int32
     cos,  # (n_steps,) int32
@@ -1032,6 +1032,12 @@ def search_flat(
     n_q, Q_pad, _ = profs.shape
     n_steps = bos.shape[0]
     n_blocks = lengths.shape[0]
+
+    # the packed payload is stored uint8 (1 byte/residue at rest); the
+    # kernel wants int32 lanes and Mosaic cannot lower narrow VMEM
+    # loads, so widen with one XLA cast at the launch boundary
+    if flat_targets.dtype != jnp.int32:
+        flat_targets = flat_targets.astype(jnp.int32)
 
     while chunk % unroll:
         unroll //= 2

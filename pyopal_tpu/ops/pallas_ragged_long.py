@@ -464,6 +464,10 @@ def search_flat_long(
     query_enc = np.asarray(query_enc, dtype=np.uint8)
     Q = query_enc.shape[0]
     S = np.asarray(matrix, dtype=np.float32)
+    # widen the uint8 at-rest payload once for all segment launches
+    flat_targets = jnp.asarray(flat_targets)
+    if flat_targets.dtype != jnp.int32:
+        flat_targets = flat_targets.astype(jnp.int32)
     n_segments = -(-Q // QSEG)
     n_blocks = lengths.shape[0]
     total_rows = flat_targets.shape[0]

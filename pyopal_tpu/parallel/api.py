@@ -34,18 +34,29 @@ import numpy as np
 from . import sharded_flat as sfm
 from .mesh import device_mesh
 
-__all__ = ["align_arrays_sharded"]
+__all__ = ["align_arrays_sharded", "align_top_k_sharded"]
 
 
-def _pack_sharded_cached(database, seqs, n_shards, lanes):
+def _pack_sharded_cached(database, seqs, n_shards, lanes, local_shards):
     """`pack_flat_sharded` memoized on the database mutation version
     (same contract as `pyopal_tpu.ops.packing.pack_database_slice_flat`),
-    so repeat calls skip repacking and re-uploading the database."""
+    so repeat calls skip repacking and re-uploading the database.
+
+    ``local_shards`` (from `sharded_flat.local_shards_of_mesh`) keeps
+    packed payload memory process-local under multi-host meshes."""
     cache = getattr(database, "_pack_cache", None)
-    key = ("sharded", n_shards, lanes, database.get_version())
+    key = (
+        "sharded",
+        n_shards,
+        lanes,
+        tuple(local_shards),
+        database.get_version(),
+    )
     if cache is not None and key in cache:
         return cache[key]
-    packed = sfm.pack_flat_sharded(seqs, n_shards, lanes=lanes)
+    packed = sfm.pack_flat_sharded(
+        seqs, n_shards, lanes=lanes, local_shards=local_shards
+    )
     from ..ops.packing import _cache_put
 
     _cache_put(cache, key, packed)
@@ -172,8 +183,12 @@ def align_arrays_sharded(
             else []
         )
 
+        local_shards = sfm.local_shards_of_mesh(mesh)
+
         def _pack(lanes):
-            return _pack_sharded_cached(database, seqs, n_shards, lanes)
+            return _pack_sharded_cached(
+                database, seqs, n_shards, lanes, local_shards
+            )
 
         def _store(qidx_rows, s, qe, te):
             for row, qi in qidx_rows:
@@ -257,4 +272,207 @@ def align_arrays_sharded(
     if with_ends:
         out["query_ends"] = q_ends
         out["target_ends"] = t_ends
+    return out
+
+
+def _merge_topk_host(v, gi, qec, tec, k, m, shard_counts):
+    """Exact global top-k from per-shard candidates, one query.
+
+    ``v``/``gi``/``qec``/``tec``: ``(n_shards * m,)`` candidate rows
+    from `sharded_flat.sharded_topk_candidates` (shard s occupies
+    slots ``[s*m, (s+1)*m)``, sorted by descending score; invalid
+    slots carry ``gi < 0``).  Selection reproduces the single-device
+    `Aligner.align_top_k` contract bit-for-bit: descending score, ties
+    by ascending global target index.
+
+    Returns ``(indices, scores, q_ends, t_ends, complete)`` where
+    ``complete`` is False when some shard's candidate floor touches
+    the k-th score while the shard was truncated — the caller then
+    escalates ``m`` and retries (`align_top_k_sharded`).
+    """
+    valid = gi >= 0
+    vv, gg = v[valid], gi[valid]
+    qq, tt = qec[valid], tec[valid]
+    kk = min(k, gg.shape[0])
+    if kk == 0:
+        return (
+            np.zeros(0, np.int64),
+            np.zeros(0, np.int32),
+            np.zeros(0, np.int32),
+            np.zeros(0, np.int32),
+            True,
+        )
+    order = np.lexsort((gg, -vv))[:kk]
+    s_k = int(vv[order[-1]])
+    complete = True
+    n_shards = len(shard_counts)
+    for s in range(n_shards):
+        row_v = v[s * m : (s + 1) * m]
+        row_g = gi[s * m : (s + 1) * m]
+        cnt = int((row_g >= 0).sum())
+        if cnt == m and m < shard_counts[s] and int(row_v[cnt - 1]) >= s_k:
+            # the shard was truncated at or above the k-th score: it
+            # may hide equal-scoring targets with smaller indices
+            complete = False
+            break
+    return gg[order], vv[order], qq[order], tt[order], complete
+
+
+def align_top_k_sharded(
+    queries,
+    database,
+    *,
+    k: int = 100,
+    scoring_matrix=None,
+    gap_open: int = 3,
+    gap_extend: int = 1,
+    algorithm: str = "sw",
+    mesh=None,
+):
+    """Full alignments of each query's ``k`` best targets, mesh-wide.
+
+    The distributed form of `pyopal_tpu.Aligner.align_top_k`, and the
+    scalable shape of the reference's documented workflow (score pass
+    -> extract top hits -> full-mode realign,
+    ``/root/reference/docs/examples/abc.ipynb``): one ``shard_map``
+    score+ends pass over the database shards, a per-shard top-k
+    selection with an ``O(k * n_shards)`` candidate all-gather — the
+    full ``(n_queries, n_targets)`` score matrix is never gathered —
+    then batched traceback of only the winners.  Results carry global
+    ``target_index`` and match `align_top_k` exactly (descending
+    score, ties by database order; the merge escalates the per-shard
+    candidate count in the rare case score ties straddle a shard's
+    candidate floor).
+
+    Arguments match `align_arrays_sharded` plus ``k``; returns one
+    `list` of `~pyopal_tpu.FullResult` (sorted by descending score, at
+    most ``k`` long) per query.
+    """
+    from ..aligner import Aligner
+    from ..ops import engine, pallas_ragged as pr
+
+    aligner = Aligner(
+        scoring_matrix, gap_open=gap_open, gap_extend=gap_extend
+    )
+    if algorithm not in ("nw", "hw", "ov", "sw"):
+        raise ValueError(f"invalid algorithm: {algorithm!r}")
+    if k < 0:
+        raise ValueError(f"invalid k: {k!r}")
+    if database.alphabet != aligner.alphabet:
+        raise ValueError(
+            "database and score matrix have different alphabets"
+        )
+    if mesh is None:
+        mesh = device_mesh()
+    n_shards = int(np.prod(list(mesh.shape.values())))
+    matrix = aligner.scoring_matrix.int_data()
+    safe_pad = matrix.shape[1] <= 31
+    interpret = jax.default_backend() != "tpu"
+
+    queries_enc = [
+        np.frombuffer(database.alphabet.encode(q), dtype=np.uint8)
+        for q in queries
+    ]
+    nq = len(queries_enc)
+    out = [[] for _ in range(nq)]
+
+    with database.lock.read:
+        n = database.get_size()
+        if nq == 0 or n == 0 or k == 0:
+            return out
+
+        use_mesh = np.abs(matrix).max(
+            initial=0
+        ) <= 256 and engine._fp32_exact_domain(
+            database, 0, n, queries_enc, matrix, gap_open, gap_extend
+        )
+        mesh_ok = [
+            use_mesh
+            and q.shape[0] > 0
+            and pr.supports(q.shape[0], algorithm, True, safe_pad=safe_pad)
+            for q in queries_enc
+        ]
+        mesh_idx = [i for i, ok in enumerate(mesh_ok) if ok]
+        fb_idx = [i for i, ok in enumerate(mesh_ok) if not ok]
+
+        if mesh_idx:
+            local_shards = sfm.local_shards_of_mesh(mesh)
+            seqs = [database.get_encoded(i) for i in range(n)]
+            sf = _pack_sharded_cached(
+                database, seqs, n_shards, sfm.LANES, local_shards
+            )
+            shard_counts = np.bincount(
+                sf.inv_shard, minlength=n_shards
+            ).tolist()
+            gidx = sfm._gidx_device(sf, mesh)
+
+            # tier cohorts (one kernel launch per distinct Q_pad)
+            cohorts: dict = {}
+            for i in mesh_idx:
+                tier = pr.profile_qpad(max(len(queries_enc[i]), 8))
+                cohorts.setdefault(tier, []).append(i)
+
+            for tier in sorted(cohorts):
+                qidx = cohorts[tier]
+                cohort = [queries_enc[i] for i in qidx]
+                profs = jnp.asarray(
+                    pr.make_profiles_host(cohort, matrix), jnp.bfloat16
+                )
+                qlens = jnp.asarray(
+                    np.array([len(q) for q in cohort], np.int32)
+                )
+                s_dev, qe_dev, te_dev = sfm.sharded_search_flat_device(
+                    mesh,
+                    profs,
+                    qlens,
+                    sf,
+                    gap_open,
+                    gap_extend,
+                    algorithm,
+                    with_ends=True,
+                    interpret=interpret,
+                    safe_pad=safe_pad,
+                )
+                m = max(1, min(k, max(shard_counts)))
+                pending = list(range(len(qidx)))
+                while pending:
+                    v, gi, qec, tec = sfm.sharded_topk_candidates(
+                        mesh, s_dev, qe_dev, te_dev, gidx, m
+                    )
+                    still = []
+                    for row in pending:
+                        sel = _merge_topk_host(
+                            v[row], gi[row], qec[row], tec[row],
+                            k, min(m, v.shape[1] // n_shards),
+                            shard_counts,
+                        )
+                        idxs, scores, qes, tes, complete = sel
+                        if not complete and m < max(shard_counts):
+                            still.append(row)
+                            continue
+                        out[qidx[row]] = engine._full_results_for(
+                            database,
+                            idxs,
+                            cohort[row],
+                            matrix,
+                            gap_open,
+                            gap_extend,
+                            algorithm,
+                            (scores, qes, tes),
+                        )
+                    pending = still
+                    m = min(m * 2, max(shard_counts))
+
+        for i in fb_idx:
+            out[i] = engine.search_top_k(
+                database,
+                queries_enc[i],
+                matrix,
+                gap_open,
+                gap_extend,
+                algorithm,
+                k,
+                0,
+                n,
+            )
     return out

@@ -1,23 +1,30 @@
 """Sharded ragged search: the flat single-launch kernel over a mesh.
 
 Production multi-chip path: the length-sorted blocks of the flat layout
-(`pyopal_tpu.ops.packing.pack_sequences_flat`) are dealt round-robin to
-mesh shards (balanced because blocks are length-sorted), each shard is
+(`pyopal_tpu.ops.packing.flat_layout`) are dealt round-robin to mesh
+shards (balanced because blocks are length-sorted), each shard is
 padded to common shapes, and one ``shard_map`` launch runs the ragged
 Pallas kernel on every device's local shard — zero communication in the
 hot loop, profile replicated, per-shard outputs reassembled to global
 target order by a host-precomputed gather permutation.
 
 Multi-host: the same code runs under ``jax.distributed.initialize``
-with a mesh spanning hosts; each host materializes only its
-process-local shards of the stacked arrays.
+with a mesh spanning hosts.  The packing is genuinely process-local:
+the global *layout* (an O(n) plan derived from sequence lengths) is
+computed identically on every process, but each process fills and
+uploads only the uint8 payload arrays of the shards its own devices
+hold (`pack_flat_sharded(..., local_shards=...)` +
+`jax.make_array_from_single_device_arrays`), so per-host packed
+memory is O(database / n_hosts) at one byte per residue.  Score/end
+outputs are host-gathered with a cross-process allgather when more
+than one process participates.  Proven by the two-process CPU test in
+``tests/test_multiprocess.py``.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
-from typing import List
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -35,96 +42,165 @@ LANES = 128
 class ShardedFlat:
     """Flat-packed database distributed over ``n_shards``.
 
-    All per-shard arrays are stacked on a leading shard axis and padded
-    to common shapes; ``inv_shard``/``inv_pos`` map each global target
-    index to (shard, block*LANES+lane).
+    Metadata arrays (lengths, step maps, index permutations) are
+    global and stacked on a leading shard axis, padded to common
+    shapes; ``inv_shard``/``inv_pos`` map each global target index to
+    (shard, block*lanes+lane).  The symbol ``payloads`` are held only
+    for the shards in ``local_shards`` (every shard in single-process
+    use), as ``(rows_max, lanes)`` uint8 arrays.
     """
 
     n_targets: int
     n_shards: int
-    flat_targets: np.ndarray  # (n_shards, rows_max, LANES) int32
-    lengths: np.ndarray  # (n_shards, nblk_max, 1, LANES) int32
+    rows_max: int
+    lanes: int
+    payloads: Dict[int, np.ndarray]  # shard -> (rows_max, lanes) uint8
+    lengths: np.ndarray  # (n_shards, nblk_max, 1, lanes) int32
     block_of_step: np.ndarray  # (n_shards, steps_max) int32
     chunk_of_step: np.ndarray  # (n_shards, steps_max) int32
     last_of_step: np.ndarray  # (n_shards, steps_max) int32
     inv_shard: np.ndarray  # (n_targets,) int32
     inv_pos: np.ndarray  # (n_targets,) int32
     chunk: int = 64  # column-chunk quantum of the per-shard layouts
+    local_shards: Optional[tuple] = None  # None = all shards local
+
+    @property
+    def local_payload_bytes(self) -> int:
+        """Bytes of packed symbol payload materialized on this host."""
+        return sum(int(p.nbytes) for p in self.payloads.values())
+
+
+def shard_assignment(n: int, seq_lengths, n_shards: int, lanes: int):
+    """Deal length-sorted blocks of ``lanes`` targets round-robin.
+
+    Returns one list of global target indices per shard.  A pure
+    function of the lengths — every process computes the same plan.
+    """
+    order = sorted(range(n), key=lambda i: seq_lengths[i])
+    shard_ids: List[List[int]] = [[] for _ in range(n_shards)]
+    for b, start in enumerate(range(0, n, lanes)):
+        shard_ids[b % n_shards].extend(order[start : start + lanes])
+    return shard_ids
 
 
 def pack_flat_sharded(
-    sequences, n_shards: int, lanes: int = LANES
+    sequences,
+    n_shards: int,
+    lanes: int = LANES,
+    local_shards=None,
 ) -> ShardedFlat:
     """Distribute encoded sequences over ``n_shards`` flat layouts.
 
     ``lanes`` selects the per-shard block width (128 for the
     row-vectorized ragged kernels, 512/256 for the query-packed q8
     kernel — see `pyopal_tpu.ops.pallas_q8`).
+
+    ``local_shards`` restricts payload materialization to the given
+    shard indices (the shards whose devices belong to this process —
+    see `local_shards_of_mesh`); metadata is always computed for every
+    shard.  `None` materializes all shards (single-process use).
     """
     n = len(sequences)
-    order = sorted(range(n), key=lambda i: len(sequences[i]))
-    # deal length-sorted blocks round-robin for load balance
-    shard_ids: List[List[int]] = [[] for _ in range(n_shards)]
-    for b, start in enumerate(range(0, n, lanes)):
-        shard_ids[b % n_shards].extend(order[start : start + lanes])
+    seq_lengths = [len(s) for s in sequences]
+    shard_ids = shard_assignment(n, seq_lengths, n_shards, lanes)
+    if local_shards is None:
+        local = tuple(range(n_shards))
+    else:
+        local = tuple(sorted(set(int(s) for s in local_shards)))
 
-    packs = [
-        packing.pack_sequences_flat([sequences[i] for i in ids], lanes=lanes)
+    layouts = [
+        packing.flat_layout([seq_lengths[i] for i in ids], lanes=lanes)
         for ids in shard_ids
     ]
 
-    rows_max = max(max(p.flat_targets.shape[0] for p in packs), 128)
-    nblk_max = max(max(p.n_blocks for p in packs), 1)
-    steps_max = max(max(p.block_of_step.shape[0] for p in packs), 1)
+    rows_max = max(max(l.total_rows for l in layouts), 128)
+    nblk_max = max(max(l.n_blocks for l in layouts), 1)
+    steps_max = max(max(l.block_of_step.shape[0] for l in layouts), 1)
 
-    flat = np.zeros((n_shards, rows_max, lanes), np.int32)
     lengths = np.zeros((n_shards, nblk_max, 1, lanes), np.int32)
     bos = np.zeros((n_shards, steps_max), np.int32)
     cos = np.zeros((n_shards, steps_max), np.int32)
     los = np.ones((n_shards, steps_max), np.int32)
     inv_shard = np.zeros(n, np.int32)
     inv_pos = np.zeros(n, np.int32)
+    payloads: Dict[int, np.ndarray] = {}
 
-    for s, (p, ids) in enumerate(zip(packs, shard_ids)):
-        r = p.flat_targets.shape[0]
-        flat[s, :r] = p.flat_targets
-        lengths[s, : p.n_blocks] = p.lengths
-        k = p.block_of_step.shape[0]
-        bos[s, :k] = p.block_of_step
-        cos[s, :k] = p.chunk_of_step
-        los[s, :k] = p.last_of_step
+    for s, (layout, ids) in enumerate(zip(layouts, shard_ids)):
+        lengths[s, : layout.n_blocks] = layout.lengths
+        k = layout.block_of_step.shape[0]
+        bos[s, :k] = layout.block_of_step
+        cos[s, :k] = layout.chunk_of_step
+        los[s, :k] = layout.last_of_step
         # padding steps: point at the last block, flagged "last" with
         # chunk 0 so they only re-run an idle init/finalize on zero
         # lengths (indices of that block are unaffected: finalize
         # rewrites the same values)
         if k < steps_max:
-            bos[s, k:] = p.block_of_step[-1] if k else 0
+            bos[s, k:] = layout.block_of_step[-1] if k else 0
             cos[s, k:] = 0
             los[s, k:] = 0
         # local->global index map
         for local_i, global_i in enumerate(ids):
             inv_shard[global_i] = s
-            inv_pos[global_i] = p.inv_pos[local_i]
+            inv_pos[global_i] = layout.inv_pos[local_i]
+        if s in local:
+            pay = np.zeros((rows_max, lanes), np.uint8)
+            pay[: layout.total_rows] = packing.fill_flat_payload(
+                layout, [sequences[i] for i in ids]
+            )
+            payloads[s] = pay
+
     return ShardedFlat(
         n,
         n_shards,
-        flat,
+        rows_max,
+        lanes,
+        payloads,
         lengths,
         bos,
         cos,
         los,
         inv_shard,
         inv_pos,
-        chunk=packs[0].chunk if packs else 64,
+        chunk=layouts[0].chunk if layouts else 64,
+        local_shards=None if local_shards is None else local,
     )
 
+
+def local_shards_of_mesh(mesh) -> tuple:
+    """Shard indices whose device belongs to this process.
+
+    Shard ``s`` lives on ``mesh.devices.flat[s]`` (the 1-D ``"db"``
+    mesh contract used throughout this module).
+    """
+    pid = jax.process_index()
+    return tuple(
+        s
+        for s, d in enumerate(mesh.devices.flat)
+        if d.process_index == pid
+    )
+
+
+def _gather_host(x) -> np.ndarray:
+    """Fetch a (possibly cross-process) sharded array to host numpy."""
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    from jax.experimental import multihost_utils
+
+    return np.asarray(multihost_utils.process_allgather(x, tiled=True))
 
 
 def _device_arrays(sf: ShardedFlat, mesh):
     """Mesh-sharded device copies of a pack's arrays, cached on the
     object (the mesh analog of ``engine._flat_device``): repeat
     searches against an unchanged database must not re-cross the host
-    link with the full packed payload on every call."""
+    link with the full packed payload on every call.
+
+    The uint8 payload is assembled shard by shard from this process's
+    local arrays via `jax.make_array_from_single_device_arrays`, so no
+    host ever materializes (or ships) another host's shards; metadata
+    is tiny and device_put whole.
+    """
     cache = getattr(sf, "_dev", None)
     if cache is None:
         cache = {}
@@ -136,8 +212,31 @@ def _device_arrays(sf: ShardedFlat, mesh):
         def put(x, spec):
             return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
 
+        payload_sharding = NamedSharding(mesh, P(DB_AXIS, None, None))
+        pid = jax.process_index()
+        locals_needed = [
+            (s, d)
+            for s, d in enumerate(mesh.devices.flat)
+            if d.process_index == pid
+        ]
+        missing = [s for s, _ in locals_needed if s not in sf.payloads]
+        if missing:
+            raise ValueError(
+                f"pack is missing payloads for local shards {missing}; "
+                "pass local_shards=local_shards_of_mesh(mesh) (or None) "
+                "to pack_flat_sharded"
+            )
+        shards = [
+            jax.device_put(sf.payloads[s][None], d)
+            for s, d in locals_needed
+        ]
+        flat_t = jax.make_array_from_single_device_arrays(
+            (sf.n_shards, sf.rows_max, sf.lanes),
+            payload_sharding,
+            shards,
+        )
         hit = (
-            put(sf.flat_targets, P(DB_AXIS, None, None)),
+            flat_t,
             put(sf.lengths, P(DB_AXIS, None, None, None)),
             put(sf.block_of_step, P(DB_AXIS, None)),
             put(sf.chunk_of_step, P(DB_AXIS, None)),
@@ -148,7 +247,7 @@ def _device_arrays(sf: ShardedFlat, mesh):
     return hit
 
 
-def sharded_search_flat(
+def sharded_search_flat_device(
     mesh,
     profs,
     qlens,
@@ -160,17 +259,17 @@ def sharded_search_flat(
     interpret: bool = False,
     safe_pad: bool = False,
 ):
-    """One ``shard_map`` launch of the ragged kernel over the mesh.
+    """One ``shard_map`` launch of the ragged kernel over the mesh,
+    leaving the outputs on device.
 
-    Pass ``safe_pad=True`` when the scoring matrix leaves profile
-    column 31 unused (every bundled matrix) to engage the unified v2
-    strip kernel on each shard.  Returns ``(scores, q_ends, t_ends)``
-    numpy arrays of shape ``(n_q, n_targets)`` in global target order.
+    Returns ``(scores, q_ends, t_ends)`` device arrays of shape
+    ``(n_shards, n_q, nblk_max, lanes)`` sharded along the ``"db"``
+    axis — the building block for both the full host gather
+    (`sharded_search_flat`) and the O(k)-communication top-k pipeline
+    (`sharded_topk_candidates`), which must not gather the full score
+    matrix.
     """
     from ..ops import pallas_ragged as pr
-
-    n_q = profs.shape[0]
-    nblk_max = sf.lengths.shape[1]
 
     def local(profs, qlens, flat_t, lengths, bos, cos, los):
         s, qe, te = pr.search_flat(
@@ -220,18 +319,137 @@ def sharded_search_flat(
     profs_r = put(profs, P(None, None, None))
     qlens_r = put(qlens, P(None))
 
-    s, qe, te = fn(profs_r, qlens_r, flat_t, lengths, bos, cos, los)
+    return fn(profs_r, qlens_r, flat_t, lengths, bos, cos, los)
+
+
+def sharded_search_flat(
+    mesh,
+    profs,
+    qlens,
+    sf: ShardedFlat,
+    go: int,
+    ge: int,
+    algorithm: str,
+    with_ends: bool = True,
+    interpret: bool = False,
+    safe_pad: bool = False,
+):
+    """One ``shard_map`` launch of the ragged kernel over the mesh.
+
+    Pass ``safe_pad=True`` when the scoring matrix leaves profile
+    column 31 unused (every bundled matrix) to engage the unified v2
+    strip kernel on each shard.  Returns ``(scores, q_ends, t_ends)``
+    numpy arrays of shape ``(n_q, n_targets)`` in global target order.
+    """
+    n_q = profs.shape[0]
+    nblk_max = sf.lengths.shape[1]
+    s, qe, te = sharded_search_flat_device(
+        mesh,
+        profs,
+        qlens,
+        sf,
+        go,
+        ge,
+        algorithm,
+        with_ends=with_ends,
+        interpret=interpret,
+        safe_pad=safe_pad,
+    )
     # (n_shards, n_q, nblk_max, lanes) -> global target order; one
     # gathered readback for all three planes (separate np.asarray
     # calls pay the host-link base RTT three times).  The lane width
     # comes from the pack itself (q8 packs are 256/512 wide).
-    stacked = np.asarray(jnp.stack([s, qe, te], axis=0))
-    lanes = sf.flat_targets.shape[2]
+    stacked = _gather_host(jnp.stack([s, qe, te], axis=0))
+    lanes = sf.lanes
     flatpos = sf.inv_shard * (nblk_max * lanes) + sf.inv_pos
     out = stacked.transpose(0, 2, 1, 3, 4).reshape(3, n_q, -1)[
         :, :, flatpos
     ]
     return out[0], out[1], out[2]
+
+
+def _gidx_device(sf: ShardedFlat, mesh):
+    """Device copy of the per-shard global-index map, cached.
+
+    ``(n_shards, nblk_max * lanes)`` int32 sharded along ``"db"``:
+    entry ``[s, p]`` is the global target index packed at flat
+    position ``p`` of shard ``s``, or ``-1`` for padding lanes/blocks.
+    """
+    cache = getattr(sf, "_gidx_dev", None)
+    key = (tuple(mesh.axis_names), tuple(d.id for d in mesh.devices.flat))
+    if cache is not None and cache[0] == key:
+        return cache[1]
+    nblk_max = sf.lengths.shape[1]
+    gidx = np.full((sf.n_shards, nblk_max * sf.lanes), -1, np.int32)
+    gidx[sf.inv_shard, sf.inv_pos] = np.arange(sf.n_targets, dtype=np.int32)
+    dev = jax.device_put(
+        jnp.asarray(gidx), NamedSharding(mesh, P(DB_AXIS, None))
+    )
+    sf._gidx_dev = (key, dev)
+    return dev
+
+
+NEG_SENTINEL = -(2**31) + 1
+
+
+def sharded_topk_candidates(mesh, s, qe, te, gidx, m: int):
+    """Per-shard top-``m`` selection + candidate all-gather.
+
+    ``s``/``qe``/``te``: the ``(n_shards, n_q, nblk, lanes)`` device
+    outputs of `sharded_search_flat_device`; ``gidx``: the matching
+    `_gidx_device` map.  Each shard selects its ``m`` best scores per
+    query (padding positions masked to ``NEG_SENTINEL``), then the
+    tiny candidate set — ``O(m * n_shards)`` values instead of
+    ``O(n_targets)`` — is all-gathered.  Returns replicated-host
+    ``(values, global_indices, q_ends, t_ends)`` numpy arrays of
+    shape ``(n_q, n_shards * m)``; invalid candidate slots carry
+    ``NEG_SENTINEL`` / ``-1``.
+
+    Per-shard selection is by score only (ties in arbitrary order);
+    exact database-order tie-breaking happens in the host merge, which
+    escalates ``m`` when a shard's candidate floor touches the global
+    k-th score (`pyopal_tpu.parallel.api.align_top_k_sharded`).
+    """
+    n_q = s.shape[1]
+    flat_len = s.shape[2] * s.shape[3]
+    mm = max(1, min(m, flat_len))
+
+    def local(s, qe, te, gidx):
+        fs = s[0].reshape(n_q, -1)
+        gi = gidx.reshape(1, -1)
+        valid = gi >= 0
+        fs = jnp.where(valid, fs, jnp.int32(NEG_SENTINEL))
+        v, pos = jax.lax.top_k(fs, mm)
+        gsel = jnp.take(gi[0], pos)
+        qec = jnp.take_along_axis(qe[0].reshape(n_q, -1), pos, axis=1)
+        tec = jnp.take_along_axis(te[0].reshape(n_q, -1), pos, axis=1)
+        # mask out selected padding slots entirely
+        gsel = jnp.where(v == NEG_SENTINEL, -1, gsel)
+        return tuple(
+            jax.lax.all_gather(x, DB_AXIS, axis=1, tiled=True)
+            for x in (v, gsel, qec, tec)
+        )
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(DB_AXIS, None, None, None),
+            P(DB_AXIS, None, None, None),
+            P(DB_AXIS, None, None, None),
+            P(DB_AXIS, None),
+        ),
+        out_specs=(P(None, None),) * 4,
+        check_vma=False,
+    )
+    v, gi, qec, tec = fn(s, qe, te, gidx)
+    # replicated outputs are process-addressable everywhere
+    return (
+        np.asarray(v),
+        np.asarray(gi),
+        np.asarray(qec),
+        np.asarray(tec),
+    )
 
 
 def sharded_search_flat_q8(
@@ -262,7 +480,7 @@ def sharded_search_flat_q8(
 
     n_g = profs.shape[0]
     nblk_max = sf.lengths.shape[1]
-    lanes = sf.flat_targets.shape[2]
+    lanes = sf.lanes
 
     def local(profs, qv, maxq, flat_t, lengths, bos, cos, los):
         s, qe, te = q8.search_flat_q8(
@@ -315,7 +533,7 @@ def sharded_search_flat_q8(
     s, qe, te = fn(profs_r, qv_r, maxq_r, flat_t, lengths, bos, cos, los)
     # (n_shards, n_g, nblk_max, QB, lanes) -> (n_g*QB, global target);
     # one gathered readback for all three planes
-    stacked = np.asarray(jnp.stack([s, qe, te], axis=0))
+    stacked = _gather_host(jnp.stack([s, qe, te], axis=0))
     flatpos = sf.inv_shard * (nblk_max * lanes) + sf.inv_pos
     out = stacked.transpose(0, 2, 4, 1, 3, 5).reshape(
         3, n_g * q8.QB, -1

@@ -1,9 +1,12 @@
 """align_batch + sharded multi-device search tests (8-device CPU mesh)."""
 
+import random
+
 import numpy as np
 import pytest
 
 import pyopal_tpu
+import pyopal_tpu as po
 from pyopal_tpu import Aligner, Database
 
 
@@ -266,3 +269,59 @@ class TestShardedFlatQ8:
                     assert ns == s[row, i], (qi, i)
                     if len(seqs[i]):
                         assert (nqe, nte) == (qe[row, i], te[row, i]), (qi, i)
+
+
+class TestAsyncSurface:
+    """`align_many` / `align_async` == the synchronous `align`."""
+
+    def _setup(self):
+        rng = random.Random(31)
+        AL = "ARNDCQEGHILKMFPSTWYV"
+        targets = [
+            "".join(rng.choices(AL, k=rng.randint(5, 90)))
+            for _ in range(40)
+        ]
+        queries = [
+            "".join(rng.choices(AL, k=rng.randint(10, 50)))
+            for _ in range(9)
+        ]
+        return po.Aligner(), po.Database(targets), queries
+
+    def test_align_many_matches_align(self):
+        aligner, db, queries = self._setup()
+        for mode in ("score", "end"):
+            got = list(
+                aligner.align_many(
+                    iter(queries), db, mode=mode, batch_size=4
+                )
+            )
+            assert len(got) == len(queries)
+            for qi, q in enumerate(queries):
+                want = aligner.align(q, db, mode=mode)
+                assert got[qi] == want, (mode, qi)
+
+    def test_align_async_batches_and_matches(self):
+        aligner, db, queries = self._setup()
+        futs = [
+            aligner.align_async(q, db, mode="end") for q in queries
+        ]
+        assert not any(f.done() for f in futs)
+        # resolving ANY future flushes the whole pending stream
+        futs[3].result()
+        assert all(f.done() for f in futs)
+        for f, q in zip(futs, queries):
+            assert f.result() == aligner.align(q, db, mode="end")
+
+    def test_align_async_validates_at_submit(self):
+        aligner, db, _ = self._setup()
+        with pytest.raises(ValueError):
+            aligner.align_async("A-A", db)  # bad symbol
+        with pytest.raises(ValueError):
+            aligner.align_async("AA", db, mode="full")
+
+    def test_align_async_separate_streams(self):
+        aligner, db, queries = self._setup()
+        f_sw = aligner.align_async(queries[0], db, algorithm="sw")
+        f_nw = aligner.align_async(queries[0], db, algorithm="nw")
+        assert f_sw.result() == aligner.align(queries[0], db, algorithm="sw")
+        assert f_nw.result() == aligner.align(queries[0], db, algorithm="nw")

@@ -119,3 +119,30 @@ def test_api_index_lists_every_page(name):
     index = (DOCS / "api" / "index.rst").read_text()
     assert re.search(rf"^\s+{name}\s*$", index, re.M)
     assert (DOCS / "api" / f"{name}.rst").exists()
+
+
+def test_workflow_notebook_executes():
+    """Every code cell of the example notebook runs against the
+    current API (the in-repo analog of the CI myst-nb execution,
+    which re-executes the notebook during the -W docs build)."""
+    import json
+    import pathlib
+
+    nb_path = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / "docs"
+        / "examples"
+        / "workflow.ipynb"
+    )
+    nb = json.loads(nb_path.read_text())
+    ns: dict = {}
+    for i, cell in enumerate(nb["cells"]):
+        if cell["cell_type"] != "code":
+            continue
+        src = "".join(cell["source"])
+        try:
+            exec(compile(src, f"workflow.ipynb cell {i}", "exec"), ns)
+        except Exception as err:  # pragma: no cover - failure detail
+            raise AssertionError(
+                f"notebook cell {i} failed: {err}\n---\n{src}"
+            ) from err

@@ -238,3 +238,80 @@ def test_sharded_search_flat_nondefault_lanes():
         assert (int(s[0, i]), int(qe[0, i]), int(te[0, i])) == (
             ws, wqe, wte,
         ), i
+
+
+# --- align_top_k_sharded ----------------------------------------------------
+
+
+class TestAlignTopKSharded:
+    """The O(k)-communication top-k pipeline == `Aligner.align_top_k`."""
+
+    def _check(self, queries, db, k, **kw):
+        from pyopal_tpu.parallel import align_top_k_sharded
+
+        got = align_top_k_sharded(queries, db, k=k, **kw)
+        aligner = po.Aligner(
+            kw.get("scoring_matrix"),
+            gap_open=kw.get("gap_open", 3),
+            gap_extend=kw.get("gap_extend", 1),
+        )
+        for qi, q in enumerate(queries):
+            want = aligner.align_top_k(
+                q, db, k=k, algorithm=kw.get("algorithm", "sw")
+            )
+            assert len(got[qi]) == len(want), qi
+            for x, y in zip(got[qi], want):
+                assert x == y, (qi, x, y)
+
+    def test_matches_single_device_sw(self):
+        db = _random_db(300, 5, 120, seed=11)
+        self._check(_random_queries(3, 40, 60, seed=12), db, k=13)
+
+    def test_matches_single_device_nw_ov(self):
+        db = _random_db(220, 5, 90, seed=13)
+        qs = _random_queries(2, 30, 50, seed=14)
+        self._check(qs, db, k=7, algorithm="nw")
+        self._check(qs, db, k=7, algorithm="ov")
+
+    def test_k_exceeds_database(self):
+        db = _random_db(25, 5, 60, seed=15)
+        self._check(_random_queries(2, 20, 40, seed=16), db, k=100)
+
+    def test_tie_escalation(self):
+        # many identical targets force equal scores straddling every
+        # shard's candidate floor: the merge must escalate and still
+        # pick the k smallest global indices among the ties
+        rng = random.Random(17)
+        base = "".join(rng.choice(AMINO) for _ in range(40))
+        targets = [base] * 120 + [
+            "".join(rng.choice(AMINO) for _ in range(rng.randint(10, 80)))
+            for _ in range(80)
+        ]
+        rng.shuffle(targets)
+        db = po.Database(targets)
+        self._check([base], db, k=15)
+
+    def test_fallback_paths(self):
+        # empty query and a long query beyond the mesh tier fall back
+        # to the single-device engine with identical results
+        rng = random.Random(18)
+        db = _random_db(60, 5, 80, seed=19)
+        long_q = "".join(rng.choice(AMINO) for _ in range(5000))
+        self._check(["", long_q], db, k=5)
+
+    def test_mixed_tiers(self):
+        db = _random_db(150, 5, 100, seed=20)
+        qs = ["".join(random.Random(21 + i).choice(AMINO)
+                      for _ in range((i + 1) * 70)) for i in range(3)]
+        self._check(qs, db, k=9)
+
+    def test_validation(self):
+        from pyopal_tpu.parallel import align_top_k_sharded
+
+        db = _random_db(10, 5, 20, seed=22)
+        with pytest.raises(ValueError):
+            align_top_k_sharded(["AA"], db, k=-1)
+        with pytest.raises(ValueError):
+            align_top_k_sharded(["AA"], db, algorithm="zz")
+        assert align_top_k_sharded([], db, k=3) == []
+        assert align_top_k_sharded(["AA"], po.Database(), k=3) == [[]]
