@@ -236,6 +236,11 @@ def _run_group_xla(prof_t, targets, lengths, go, ge, algorithm):
 #: there (see DEVNOTES.md).
 _Q8_LANES_BY_TIER = {64: 512, 128: 512, 256: 512, 512: 256}
 
+#: leftover-cohort size at which a PARTIAL q8 group (empty sublane
+#: slots) beats a v2 launch: the group costs a fixed 8-slot sweep at
+#: ~207 GCUPS vs the v2 kernel's per-query ~135 (see DEVNOTES.md)
+_Q8_PARTIAL_MIN = 6
+
 #: q8 groups (of 8 queries) per kernel launch.  Batches beyond the
 #: quantum split into multiple launches, which bounds the set of
 #: compiled n_groups shapes to {quantum, remainders < quantum}.
@@ -273,9 +278,15 @@ def plan_tier_launches(queries_enc, safe_pad):
     for tier, qidx in sorted(cohorts.items()):
         lanes_q8 = _Q8_LANES_BY_TIER.get(tier) if safe_pad else None
         q8_idx, v2_idx = [], qidx
-        if lanes_q8 is not None and len(qidx) >= q8.QB:
+        if lanes_q8 is not None:
             order = sorted(qidx, key=lambda i: -queries_enc[i].shape[0])
             m = (len(order) // q8.QB) * q8.QB
+            # a partial q8 group still sweeps the database with all
+            # QB sublane slots, so it costs ~QB/207 GCUPS-normalized
+            # units vs the v2 kernel's L/135 for L leftover queries:
+            # the padded group wins once L >= 6 (break-even 5.2)
+            if len(order) - m >= _Q8_PARTIAL_MIN:
+                m = len(order)
             q8_idx, v2_idx = order[:m], order[m:]
         groups = [
             q8_idx[k : k + q8.QB] for k in range(0, len(q8_idx), q8.QB)
