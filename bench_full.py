@@ -125,6 +125,32 @@ def main():
         f"| `sw` score, 16 queries pipelined (arrays API) | {per * 1e3:.1f} ms | {cells / per / 1e9:.1f} |"
     )
 
+    # 5. async interactive stream: submit 16 singles, resolve together
+    def run_stream():
+        futs = [
+            aligner.align_async(q, db, mode="score", algorithm="sw")
+            for q in queries
+        ]
+        for f in futs:
+            f.result()
+
+    run_stream()  # warm
+    per = timed(run_stream) / len(queries)
+    lines.append(
+        f"| `sw` score, 16 sequential `align_async` resolved together | {per * 1e3:.1f} ms | {cells / per / 1e9:.1f} |"
+    )
+
+    # 6. distributed top-k pipeline on the local mesh (O(k) candidate
+    # gather, never the full score matrix); equality vs align_top_k
+    from pyopal_tpu.parallel import align_top_k_sharded
+
+    got = align_top_k_sharded([query], db, k=100)[0]  # warm + check
+    assert [h.score for h in got] == [h.score for h in topk]
+    dt = timed(lambda: align_top_k_sharded([query], db, k=100))
+    lines.append(
+        f"| `sw` align_top_k_sharded(k=100), {len(jax.devices())}-device mesh | {dt * 1e3:.1f} ms | — |"
+    )
+
     report = "\n".join(lines) + "\n"
     with open("BENCH_DETAIL.md", "w") as f:
         f.write(report)

@@ -23,7 +23,7 @@ arrays for very large databases.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -91,26 +91,54 @@ def sharded_search_group(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 
-    fn = partial(
-        _local_search,
-        go=int(go),
-        ge=int(ge),
-        algorithm=algorithm,
-        use_pallas=use_pallas,
-        with_ends=with_ends,
-    )
-    sharded = shard_map(
-        lambda t, l: fn(prof, t, l),
-        mesh=mesh,
-        in_specs=(P(DB_AXIS, None, None), P(DB_AXIS, None)),
-        out_specs=(P(DB_AXIS, None), P(DB_AXIS, None), P(DB_AXIS, None)),
-        check_vma=False,
+    # stable callable identity: shard_map compilations cache on the
+    # function object, so the wrapper must not be rebuilt per call
+    # (see sharded_flat._flat_fn); the 2-D profile array is passed as
+    # a replicated argument, the static query length (pallas variant)
+    # through the cache key
+    if use_pallas:
+        prof_arr, Q = prof
+    else:
+        prof_arr, Q = prof, -1
+    sharded = _group_fn(
+        mesh, int(go), int(ge), algorithm, bool(use_pallas),
+        bool(with_ends), int(Q),
     )
     t_sharding = NamedSharding(mesh, P(DB_AXIS, None, None))
     l_sharding = NamedSharding(mesh, P(DB_AXIS, None))
     targets = jax.device_put(jnp.asarray(targets), t_sharding)
     lengths = jax.device_put(jnp.asarray(lengths), l_sharding)
-    return sharded(targets, lengths)
+    return sharded(prof_arr, targets, lengths)
+
+
+@lru_cache(maxsize=256)
+def _group_fn(mesh, go, ge, algorithm, use_pallas, with_ends, Q):
+    fn = partial(
+        _local_search,
+        go=go,
+        ge=ge,
+        algorithm=algorithm,
+        use_pallas=use_pallas,
+        with_ends=with_ends,
+    )
+
+    def local(prof_arr, t, l):
+        prof_t = (prof_arr, Q) if use_pallas else prof_arr
+        return fn(prof_t, t, l)
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(None, None), P(DB_AXIS, None, None), P(DB_AXIS, None)
+            ),
+            out_specs=(
+                P(DB_AXIS, None), P(DB_AXIS, None), P(DB_AXIS, None)
+            ),
+            check_vma=False,
+        )
+    )
 
 
 def top_k_merge(mesh, scores, indices, k: int):
@@ -122,6 +150,15 @@ def top_k_merge(mesh, scores, indices, k: int):
     ``O(k * n_devices)`` instead of ``O(n_targets)``.
     """
 
+    fn = _topk_merge_fn(mesh, int(k))
+    s_shard = NamedSharding(mesh, P(DB_AXIS))
+    scores = jax.device_put(jnp.asarray(scores), s_shard)
+    indices = jax.device_put(jnp.asarray(indices), s_shard)
+    return fn(scores, indices)
+
+
+@lru_cache(maxsize=256)
+def _topk_merge_fn(mesh, k):
     def local_topk(s, i):
         kk = min(k, s.shape[0])
         v, pos = jax.lax.top_k(s, kk)
@@ -131,14 +168,12 @@ def top_k_merge(mesh, scores, indices, k: int):
         vv, p2 = jax.lax.top_k(v, min(k, v.shape[0]))
         return vv, cand_i[p2]
 
-    fn = shard_map(
-        local_topk,
-        mesh=mesh,
-        in_specs=(P(DB_AXIS), P(DB_AXIS)),
-        out_specs=(P(), P()),
-        check_vma=False,
+    return jax.jit(
+        shard_map(
+            local_topk,
+            mesh=mesh,
+            in_specs=(P(DB_AXIS), P(DB_AXIS)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
     )
-    s_shard = NamedSharding(mesh, P(DB_AXIS))
-    scores = jax.device_put(jnp.asarray(scores), s_shard)
-    indices = jax.device_put(jnp.asarray(indices), s_shard)
-    return fn(scores, indices)

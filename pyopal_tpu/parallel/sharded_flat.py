@@ -24,6 +24,7 @@ than one process participates.  Proven by the two-process CPU test in
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 from typing import Dict, List, Optional
 
 import jax
@@ -269,6 +270,31 @@ def sharded_search_flat_device(
     (`sharded_topk_candidates`), which must not gather the full score
     matrix.
     """
+    fn = _flat_fn(
+        mesh, int(go), int(ge), algorithm, bool(with_ends),
+        bool(interpret), bool(safe_pad), sf.chunk,
+    )
+
+    def put(x, spec):
+        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
+
+    flat_t, lengths, bos, cos, los = _device_arrays(sf, mesh)
+    profs_r = put(profs, P(None, None, None))
+    qlens_r = put(qlens, P(None))
+
+    return fn(profs_r, qlens_r, flat_t, lengths, bos, cos, los)
+
+
+@lru_cache(maxsize=256)
+def _flat_fn(mesh, go, ge, algorithm, with_ends, interpret, safe_pad, chunk):
+    """Memoized ``shard_map`` wrapper for the ragged kernel.
+
+    The wrapped function object must be STABLE across calls: shard_map
+    executions cache (trace + XLA + Mosaic compile) on the callable's
+    identity, so rebuilding the closure per search would recompile the
+    kernel remotely on every call (measured: 37 s per
+    `align_top_k_sharded` call on the tunneled dev device vs ~0.2 s
+    with this cache)."""
     from ..ops import pallas_ragged as pr
 
     def local(profs, qlens, flat_t, lengths, bos, cos, los):
@@ -280,46 +306,39 @@ def sharded_search_flat_device(
             bos[0],
             cos[0],
             los[0],
-            int(go),
-            int(ge),
+            go,
+            ge,
             algorithm,
             with_ends,
             interpret=interpret,
             # the kernel's column-chunk size MUST match the packing
             # quantum: block row offsets are step_index * chunk
-            chunk=sf.chunk,
+            chunk=chunk,
             safe_pad=safe_pad,
         )
         return s[None], qe[None], te[None]
 
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(
-            P(None, None, None),
-            P(None),
-            P(DB_AXIS, None, None),
-            P(DB_AXIS, None, None, None),
-            P(DB_AXIS, None),
-            P(DB_AXIS, None),
-            P(DB_AXIS, None),
-        ),
-        out_specs=(
-            P(DB_AXIS, None, None, None),
-            P(DB_AXIS, None, None, None),
-            P(DB_AXIS, None, None, None),
-        ),
-        check_vma=False,
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(None, None, None),
+                P(None),
+                P(DB_AXIS, None, None),
+                P(DB_AXIS, None, None, None),
+                P(DB_AXIS, None),
+                P(DB_AXIS, None),
+                P(DB_AXIS, None),
+            ),
+            out_specs=(
+                P(DB_AXIS, None, None, None),
+                P(DB_AXIS, None, None, None),
+                P(DB_AXIS, None, None, None),
+            ),
+            check_vma=False,
+        )
     )
-
-    def put(x, spec):
-        return jax.device_put(jnp.asarray(x), NamedSharding(mesh, spec))
-
-    flat_t, lengths, bos, cos, los = _device_arrays(sf, mesh)
-    profs_r = put(profs, P(None, None, None))
-    qlens_r = put(qlens, P(None))
-
-    return fn(profs_r, qlens_r, flat_t, lengths, bos, cos, los)
 
 
 def sharded_search_flat(
@@ -410,11 +429,23 @@ def sharded_topk_candidates(mesh, s, qe, te, gidx, m: int):
     escalates ``m`` when a shard's candidate floor touches the global
     k-th score (`pyopal_tpu.parallel.api.align_top_k_sharded`).
     """
-    n_q = s.shape[1]
     flat_len = s.shape[2] * s.shape[3]
     mm = max(1, min(m, flat_len))
+    fn = _topk_fn(mesh, mm)
+    # one stacked readback: four separate np.asarray calls would pay
+    # the host-link base RTT four times (replicated outputs are
+    # process-addressable everywhere)
+    out = np.asarray(fn(s, qe, te, gidx))
+    return out[0], out[1], out[2], out[3]
+
+
+@lru_cache(maxsize=256)
+def _topk_fn(mesh, mm):
+    """Memoized ``shard_map`` per-shard top-k + all-gather (stable
+    callable identity — see `_flat_fn`)."""
 
     def local(s, qe, te, gidx):
+        n_q = s.shape[1]
         fs = s[0].reshape(n_q, -1)
         gi = gidx.reshape(1, -1)
         valid = gi >= 0
@@ -425,30 +456,22 @@ def sharded_topk_candidates(mesh, s, qe, te, gidx, m: int):
         tec = jnp.take_along_axis(te[0].reshape(n_q, -1), pos, axis=1)
         # mask out selected padding slots entirely
         gsel = jnp.where(v == NEG_SENTINEL, -1, gsel)
-        return tuple(
-            jax.lax.all_gather(x, DB_AXIS, axis=1, tiled=True)
-            for x in (v, gsel, qec, tec)
-        )
+        stacked = jnp.stack([v, gsel, qec, tec], axis=0)
+        return jax.lax.all_gather(stacked, DB_AXIS, axis=2, tiled=True)
 
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(
-            P(DB_AXIS, None, None, None),
-            P(DB_AXIS, None, None, None),
-            P(DB_AXIS, None, None, None),
-            P(DB_AXIS, None),
-        ),
-        out_specs=(P(None, None),) * 4,
-        check_vma=False,
-    )
-    v, gi, qec, tec = fn(s, qe, te, gidx)
-    # replicated outputs are process-addressable everywhere
-    return (
-        np.asarray(v),
-        np.asarray(gi),
-        np.asarray(qec),
-        np.asarray(tec),
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(DB_AXIS, None, None, None),
+                P(DB_AXIS, None, None, None),
+                P(DB_AXIS, None, None, None),
+                P(DB_AXIS, None),
+            ),
+            out_specs=P(None, None, None),
+            check_vma=False,
+        )
     )
 
 
@@ -481,45 +504,9 @@ def sharded_search_flat_q8(
     n_g = profs.shape[0]
     nblk_max = sf.lengths.shape[1]
     lanes = sf.lanes
-
-    def local(profs, qv, maxq, flat_t, lengths, bos, cos, los):
-        s, qe, te = q8.search_flat_q8(
-            profs,
-            qv,
-            maxq,
-            flat_t[0],
-            lengths[0],
-            bos[0],
-            cos[0],
-            los[0],
-            int(go),
-            int(ge),
-            algorithm,
-            with_ends,
-            interpret=interpret,
-            chunk=sf.chunk,
-        )
-        return s[None], qe[None], te[None]
-
-    fn = shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(
-            P(None, None, None),
-            P(None, None, None),
-            P(None),
-            P(DB_AXIS, None, None),
-            P(DB_AXIS, None, None, None),
-            P(DB_AXIS, None),
-            P(DB_AXIS, None),
-            P(DB_AXIS, None),
-        ),
-        out_specs=(
-            P(DB_AXIS, None, None, None, None),
-            P(DB_AXIS, None, None, None, None),
-            P(DB_AXIS, None, None, None, None),
-        ),
-        check_vma=False,
+    fn = _q8_fn(
+        mesh, int(go), int(ge), algorithm, bool(with_ends),
+        bool(interpret), sf.chunk,
     )
 
     def put(x, spec):
@@ -539,3 +526,52 @@ def sharded_search_flat_q8(
         3, n_g * q8.QB, -1
     )[:, :, flatpos]
     return out[0], out[1], out[2]
+
+
+@lru_cache(maxsize=256)
+def _q8_fn(mesh, go, ge, algorithm, with_ends, interpret, chunk):
+    """Memoized ``shard_map`` wrapper for the q8 kernel (stable
+    callable identity — see `_flat_fn`)."""
+    from ..ops import pallas_q8 as q8
+
+    def local(profs, qv, maxq, flat_t, lengths, bos, cos, los):
+        s, qe, te = q8.search_flat_q8(
+            profs,
+            qv,
+            maxq,
+            flat_t[0],
+            lengths[0],
+            bos[0],
+            cos[0],
+            los[0],
+            go,
+            ge,
+            algorithm,
+            with_ends,
+            interpret=interpret,
+            chunk=chunk,
+        )
+        return s[None], qe[None], te[None]
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(
+                P(None, None, None),
+                P(None, None, None),
+                P(None),
+                P(DB_AXIS, None, None),
+                P(DB_AXIS, None, None, None),
+                P(DB_AXIS, None),
+                P(DB_AXIS, None),
+                P(DB_AXIS, None),
+            ),
+            out_specs=(
+                P(DB_AXIS, None, None, None, None),
+                P(DB_AXIS, None, None, None, None),
+                P(DB_AXIS, None, None, None, None),
+            ),
+            check_vma=False,
+        )
+    )
