@@ -325,3 +325,38 @@ class TestAsyncSurface:
         f_nw = aligner.align_async(queries[0], db, algorithm="nw")
         assert f_sw.result() == aligner.align(queries[0], db, algorithm="sw")
         assert f_nw.result() == aligner.align(queries[0], db, algorithm="nw")
+
+
+def test_shard_assignment_balance():
+    """Greedy-LPT dealing of length-sorted blocks balances per-shard
+    KERNEL cost — the packing property behind the >=80% linear-scaling
+    target (BASELINE.md).  The sweep cost of a shard is its padded row
+    total (every lane of a block runs to the block's padded length),
+    so that is the balanced metric; it must stay within a few percent
+    of the mean for a Swiss-Prot-like length distribution."""
+    from pyopal_tpu.ops import packing
+    from pyopal_tpu.parallel import sharded_flat as sfm
+
+    rng = np.random.default_rng(8)
+    lengths = np.clip(
+        rng.lognormal(np.log(350), 0.45, 12071).astype(int), 30, 4000
+    )
+    seqs = [np.zeros(n, np.uint8) for n in lengths]
+    for n_shards in (4, 8):
+        shard_ids = sfm.shard_assignment(
+            len(seqs), [len(x) for x in seqs], n_shards, sfm.LANES
+        )
+        rows = np.asarray(
+            [
+                packing.flat_layout(
+                    [lengths[i] for i in ids], sfm.LANES
+                ).total_rows
+                for ids in shard_ids
+            ],
+            np.float64,
+        )
+        spread = float(np.abs(rows - rows.mean()).max() / rows.mean())
+        assert spread < 0.05, (n_shards, spread, rows)
+        # every target appears exactly once across shards
+        got = sorted(i for ids in shard_ids for i in ids)
+        assert got == list(range(len(seqs)))
