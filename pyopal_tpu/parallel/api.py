@@ -16,7 +16,7 @@ index:
 
 `align_arrays_sharded` is the mesh analog of
 `pyopal_tpu.Aligner.align_arrays`: the encoded database is dealt
-round-robin (length-sorted) over every local device, query profiles
+over every local device (greedy-LPT balanced blocks), query profiles
 are replicated, one ``shard_map`` launch per query-tier cohort runs
 the flat Pallas kernels on each shard with zero communication in the
 hot loop, and per-shard outputs are reassembled host-side into global

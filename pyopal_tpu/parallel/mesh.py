@@ -26,7 +26,7 @@ def initialize_distributed(
     Thin wrapper over `jax.distributed.initialize` (auto-detecting on
     TPU pods when called with no arguments).  After this,
     `device_mesh()` spans every chip in the pod, `pack_flat_sharded`
-    distributes database blocks round-robin across all of them, and
+    distributes database blocks (LPT-balanced) across all of them, and
     the ``shard_map`` search + top-k merge collectives in
     `pyopal_tpu.parallel.sharded_flat` ride ICI within a slice and DCN
     across slices — the multi-host analog of the reference's

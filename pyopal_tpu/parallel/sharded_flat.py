@@ -1,8 +1,8 @@
 """Sharded ragged search: the flat single-launch kernel over a mesh.
 
 Production multi-chip path: the length-sorted blocks of the flat layout
-(`pyopal_tpu.ops.packing.flat_layout`) are dealt round-robin to mesh
-shards (balanced because blocks are length-sorted), each shard is
+(`pyopal_tpu.ops.packing.flat_layout`) are dealt to mesh shards by
+greedy LPT on padded sweep rows (`shard_assignment`), each shard is
 padded to common shapes, and one ``shard_map`` launch runs the ragged
 Pallas kernel on every device's local shard — zero communication in the
 hot loop, profile replicated, per-shard outputs reassembled to global
