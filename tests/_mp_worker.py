@@ -75,6 +75,15 @@ def main():
         if not np.array_equal(got[k], want[k]):
             raise AssertionError(f"{k} mismatch on process {pid}")
 
+    # the O(k)-communication top-k pipeline under a real 2-process
+    # mesh: candidates cross hosts via the all-gather collective
+    from pyopal_tpu.parallel import align_top_k_sharded
+
+    top_got = align_top_k_sharded([queries[0]], db, k=7)[0]
+    top_want = aligner.align_top_k(queries[0], db, k=7)
+    if top_got != top_want:
+        raise AssertionError(f"top-k mismatch on process {pid}")
+
     # process-locality: the cached pack holds payloads only for this
     # process's shards, i.e. about half the database
     local = set(sfm.local_shards_of_mesh(mesh))
