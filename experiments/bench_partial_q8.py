@@ -37,9 +37,6 @@ def main():
             f"(last {len(groups[-1]) if groups else 0}), {len(v2)} v2"
         )
 
-    def run():
-        return al.align_arrays(db=db, queries=queries, mode="score")
-
     def run_arrays():
         al.align_arrays(queries, db, mode="score", algorithm="sw")
 

@@ -30,6 +30,7 @@ __license__ = "MIT"
 __all__ = [
     "Alphabet",
     "Aligner",
+    "AlignFuture",
     "BaseDatabase",
     "Database",
     "ScoreResult",
@@ -52,7 +53,7 @@ _native.ensure_built()
 
 from ._align import align
 from .alphabet import Alphabet
-from .aligner import Aligner
+from .aligner import Aligner, AlignFuture
 from .database import BaseDatabase, Database
 from .io import load_database, read_fasta, save_database
 from .matrices import ScoringMatrix

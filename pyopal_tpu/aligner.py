@@ -499,19 +499,35 @@ class Aligner:
         # encode eagerly: bad symbols raise here, not at flush
         database.alphabet.encode(query)
         key = (id(database), mode, algorithm, start, end)
-        streams = self.__dict__.setdefault("_async_streams", {})
-        stream = streams.get(key)
-        if stream is None:
-            stream = _AsyncStream(self, database, mode, algorithm, start, end)
-            streams[key] = stream
-        return stream.submit(query)
+        with self.__dict__.setdefault(
+            "_async_dict_lock", threading.Lock()
+        ):
+            streams = self.__dict__.setdefault("_async_streams", {})
+            stream = streams.get(key)
+            if stream is None:
+                stream = _AsyncStream(
+                    self, key, database, mode, algorithm, start, end
+                )
+                streams[key] = stream
+            return stream.submit(query)
 
 
 class _AsyncStream:
-    """Pending queries sharing one (database, params) stream."""
+    """Pending queries sharing one (database, params) stream.
 
-    def __init__(self, aligner, database, mode, algorithm, start, end):
+    Thread contract: ``submit``/``flush`` are safe from any thread.
+    The batch search runs *inside* the stream lock, so a concurrent
+    ``result()`` on a sibling future blocks in ``flush`` until the
+    in-flight batch has populated every popped future — and every
+    future is either still pending (the next flush picks it up) or
+    already resolved by the flush that popped it.  A fully drained
+    stream removes itself from the aligner's registry so neither the
+    stream nor its database reference outlives the work.
+    """
+
+    def __init__(self, aligner, key, database, mode, algorithm, start, end):
         self.aligner = aligner
+        self.key = key
         self.database = database
         self.mode = mode
         self.algorithm = algorithm
@@ -529,18 +545,25 @@ class _AsyncStream:
     def flush(self) -> None:
         with self._lock:
             batch, self.pending = self.pending, []
-        if not batch:
-            return
-        results = self.aligner.align_batch(
-            [q for _, q in batch],
-            self.database,
-            mode=self.mode,
-            algorithm=self.algorithm,
-            start=self.start,
-            end=self.end,
-        )
-        for (fut, _), res in zip(batch, results):
-            fut._set(res)
+            if batch:
+                results = self.aligner.align_batch(
+                    [q for _, q in batch],
+                    self.database,
+                    mode=self.mode,
+                    algorithm=self.algorithm,
+                    start=self.start,
+                    end=self.end,
+                )
+                for (fut, _), res in zip(batch, results):
+                    fut._set(res)
+        # drop the drained stream from the registry (under the dict
+        # lock; a submit racing this simply creates a fresh stream)
+        dict_lock = self.aligner.__dict__.get("_async_dict_lock")
+        if dict_lock is not None:
+            with dict_lock:
+                streams = self.aligner.__dict__.get("_async_streams", {})
+                if streams.get(self.key) is self and not self.pending:
+                    del streams[self.key]
 
 
 class AlignFuture:
@@ -559,9 +582,11 @@ class AlignFuture:
 
     def result(self):
         """The result list, flushing the pending stream if needed."""
-        if not self._done:
+        # at most two iterations: either this future is pending (our
+        # flush resolves it) or the flush that popped it resolved it
+        # before releasing the stream lock
+        while not self._done:
             self._stream.flush()
-        assert self._done
         return self._result
 
     def _set(self, res):

@@ -478,8 +478,8 @@ def _topk_fn(mesh, mm):
         gsel = jnp.take(gi[0], pos)
         qec = jnp.take_along_axis(qe[0].reshape(n_q, -1), pos, axis=1)
         tec = jnp.take_along_axis(te[0].reshape(n_q, -1), pos, axis=1)
-        # mask out selected padding slots entirely
-        gsel = jnp.where(v == NEG_SENTINEL, -1, gsel)
+        # padding slots already carry gsel == -1 (gathered straight
+        # from gidx), so no extra masking is needed here
         stacked = jnp.stack([v, gsel, qec, tec], axis=0)
         return jax.lax.all_gather(stacked, DB_AXIS, axis=2, tiled=True)
 

@@ -360,3 +360,41 @@ def test_shard_assignment_balance():
         # every target appears exactly once across shards
         got = sorted(i for ids in shard_ids for i in ids)
         assert got == list(range(len(seqs)))
+
+
+def test_align_async_thread_race_and_eviction():
+    """A sibling future resolved from another thread while a flush is
+    in flight must block until its result exists (never None / never
+    AssertionError), and a fully drained stream must evict itself so
+    the aligner does not pin the database forever."""
+    import threading
+
+    rng = random.Random(5)
+    AL = "ARNDCQEGHILKMFPSTWYV"
+    db = Database(
+        ["".join(rng.choices(AL, k=rng.randint(20, 60))) for _ in range(25)]
+    )
+    aligner = Aligner()
+    futs = [
+        aligner.align_async("".join(rng.choices(AL, k=30)), db)
+        for _ in range(6)
+    ]
+    errs = []
+
+    def worker(f):
+        try:
+            r = f.result()
+            assert r is not None and len(r) == 25
+        except Exception as e:  # pragma: no cover - failure detail
+            errs.append(e)
+
+    threads = [
+        threading.Thread(target=worker, args=(f,)) for f in futs
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs, errs
+    assert not aligner.__dict__.get("_async_streams")
+    assert isinstance(futs[0], pyopal_tpu.AlignFuture)
