@@ -1,0 +1,66 @@
+"""Seeded property fuzz: engine dispatch vs the scalar oracle.
+
+Random (alphabet, matrix, gap, algorithm, mode, length-mix) configs
+through the PUBLIC API, each cross-checked against the scalar oracle.
+Deterministic seeds — failures reproduce exactly.  This sweeps corners
+the targeted suites parameterize individually: tiny alphabets, zero
+gaps, ge > go, matrices near the bf16-profile magnitude boundary,
+empty/1-residue targets, and databases straddling block boundaries.
+"""
+
+import random
+
+import numpy as np
+import pytest
+
+import pyopal_tpu as po
+from pyopal_tpu.ops import naive
+
+
+def _case(seed):
+    rng = random.Random(seed)
+    nrg = np.random.default_rng(seed)
+    asize = rng.choice([2, 4, 20, 24, 27])
+    letters = "ABCDEFGHIJKLMNOPQRSTUVWXYZ*"[:asize]
+    # symmetric integer matrix; occasionally large magnitudes (still
+    # within the bf16-exact profile window |s| <= 256)
+    hi = rng.choice([5, 17, 250])
+    m = nrg.integers(-hi, hi + 1, (asize, asize))
+    m = ((m + m.T) // 2).astype(np.float32)
+    matrix = po.ScoringMatrix(m, letters)
+    go = rng.choice([0, 1, 3, 11])
+    ge = rng.choice([0, 1, 2, 7])
+    algo = rng.choice(["nw", "hw", "ov", "sw"])
+    mode = rng.choice(["score", "end"])
+    n = rng.randint(1, 40)
+    lens = [rng.choice([0, 1, 2, 17, 63, 64, 65, 130]) for _ in range(n)]
+    targets = [
+        "".join(rng.choices(letters[: max(asize - 1, 1)], k=k))
+        for k in lens
+    ]
+    qlen = rng.choice([1, 5, 33, 64, 100])
+    query = "".join(rng.choices(letters[: max(asize - 1, 1)], k=qlen))
+    return matrix, go, ge, algo, mode, targets, query
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_engine_matches_oracle_random_config(seed):
+    matrix, go, ge, algo, mode, targets, query = _case(seed)
+    db = po.Database(targets, alphabet=matrix.alphabet)
+    aligner = po.Aligner(matrix, gap_open=go, gap_extend=ge)
+    results = aligner.align(query, db, mode=mode, algorithm=algo)
+    assert len(results) == len(targets)
+
+    S = matrix.int_data()
+    enc = lambda s: np.frombuffer(
+        db.alphabet.encode(s), dtype=np.uint8
+    )
+    q = enc(query)
+    for i, t in enumerate(targets):
+        ns, nqe, nte = naive.score_end(q, enc(t), S, go, ge, algo)
+        assert results[i].score == ns, (seed, i, results[i].score, ns)
+        if mode == "end" and len(t):
+            assert (results[i].query_end, results[i].target_end) == (
+                nqe,
+                nte,
+            ), (seed, i)
