@@ -37,6 +37,7 @@ class SharedMutex:
         self._cond = threading.Condition(threading.Lock())
         self._readers = 0
         self._writer = False
+        self._writers_waiting = 0
         self.read = ReadLock(self)
         self.write = WriteLock(self)
 
@@ -44,7 +45,10 @@ class SharedMutex:
 
     def lock_shared(self) -> None:
         with self._cond:
-            while self._writer:
+            # writer preference: new readers also yield to QUEUED
+            # writers, otherwise a continuous stream of overlapping
+            # searches starves mutation forever
+            while self._writer or self._writers_waiting:
                 self._cond.wait()
             self._readers += 1
 
@@ -56,8 +60,12 @@ class SharedMutex:
 
     def lock(self) -> None:
         with self._cond:
-            while self._writer or self._readers:
-                self._cond.wait()
+            self._writers_waiting += 1
+            try:
+                while self._writer or self._readers:
+                    self._cond.wait()
+            finally:
+                self._writers_waiting -= 1
             self._writer = True
 
     def unlock(self) -> None:

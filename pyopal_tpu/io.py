@@ -139,10 +139,22 @@ def load_database(path):
     Returns ``(names, Database)``; ``names`` is `None` when the file
     was saved without them.
     """
+    # mirror np.savez's implicit ".npz" suffix so the natural
+    # round-trip load_database("db") after save_database("db") works
+    import os
+
+    p = os.fspath(path) if not hasattr(path, "read") else path
+    if (
+        isinstance(p, str)
+        and not p.endswith(".npz")
+        and not os.path.exists(p)
+        and os.path.exists(p + ".npz")
+    ):
+        p = p + ".npz"
     # allow_pickle stays False (the numpy default): the format holds
     # only plain arrays, and pickled payloads in untrusted files would
     # execute arbitrary code on load
-    with np.load(path) as f:
+    with np.load(p) as f:
         payload = f["payload"]
         lengths = f["lengths"]
         letters = f["alphabet"].tobytes().decode("ascii")
@@ -158,10 +170,18 @@ def load_database(path):
             raise ValueError(
                 f"{path!r} stores sequence names in the old pickled "
                 "format, which is no longer loaded for security; "
-                "regenerate the archive with save_database (e.g. load "
-                "the original FASTA with load_fasta and re-save)"
+                "regenerate the archive with save_database (e.g. parse "
+                "the original FASTA with read_fasta and re-save)"
             ) from err
 
+    if lengths.size and (lengths < 0).any():
+        raise ValueError(f"{path!r}: corrupt archive (negative length)")
+    if int(lengths.sum(initial=0)) != int(payload.shape[0]):
+        raise ValueError(
+            f"{path!r}: corrupt archive (payload holds "
+            f"{payload.shape[0]} residues but lengths sum to "
+            f"{int(lengths.sum(initial=0))})"
+        )
     db = Database(alphabet=letters)
     offsets = np.concatenate([[0], np.cumsum(lengths)])
     with db.lock.write:

@@ -27,6 +27,8 @@ from __future__ import annotations
 
 from functools import partial
 
+import threading
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -120,13 +122,23 @@ def _slice_maxlen(database, start, end) -> int:
     database mutation version (the O(n) scan costs ~2 ms on a 12k-seq
     database — too much for the single-query latency path)."""
     cache_d = getattr(database, "_pack_cache", None)
-    key = ("tmax", database.get_version(), start, end)
-    if cache_d is not None and key in cache_d:
-        return cache_d[key]
+    key = (database.get_version(), start, end)
+    # a separate (uncapped-cheap) side dict: tmax entries are tiny
+    # ints, and routing them through the 16-slot pack cache used to
+    # evict live packed layouts under sliding-window query patterns
+    side = getattr(database, "_tmax_cache", None)
+    if side is None and cache_d is not None:
+        side = database.__dict__.setdefault("_tmax_cache", {})
+    if side is not None:
+        hit = side.get(key)
+        if hit is not None:
+            return hit
     lengths = database.get_lengths()
     t_max = int(max((lengths[i] for i in range(start, end)), default=0))
-    if cache_d is not None:
-        cache_d[key] = t_max
+    if side is not None:
+        if len(side) > 1024:
+            side.clear()
+        side[key] = t_max
     return t_max
 
 
@@ -192,6 +204,9 @@ def _assemble_flat_q8(inv_pos, s, qe, te, with_ends):
 
 _PROFILE_CACHE: dict = {}
 _PROFILE_CACHE_MAX = 64
+# align(threads>=2) runs engine code from ThreadPool workers holding
+# only the shared read lock; cache mutation needs its own guard
+_PROFILE_CACHE_LOCK = threading.Lock()
 
 
 def _profiles_for_cohort(cohort, matrix):
@@ -207,15 +222,17 @@ def _profiles_for_cohort(cohort, matrix):
         b"".join(q.tobytes() + b"\xff" for q in cohort),
         matrix.tobytes(),
     )
-    hit = _PROFILE_CACHE.get(key)
+    with _PROFILE_CACHE_LOCK:
+        hit = _PROFILE_CACHE.get(key)
     if hit is not None:
         return hit
     profs_host = pr.make_profiles_host(cohort, matrix)
     profs = jnp.asarray(profs_host, dtype=jnp.bfloat16)
     qlens = jnp.asarray(np.array([len(q) for q in cohort], np.int32))
-    if len(_PROFILE_CACHE) >= _PROFILE_CACHE_MAX:
-        _PROFILE_CACHE.pop(next(iter(_PROFILE_CACHE)))
-    _PROFILE_CACHE[key] = (profs, qlens)
+    with _PROFILE_CACHE_LOCK:
+        while len(_PROFILE_CACHE) >= _PROFILE_CACHE_MAX:
+            _PROFILE_CACHE.pop(next(iter(_PROFILE_CACHE)))
+        _PROFILE_CACHE[key] = (profs, qlens)
     return profs, qlens
 
 
@@ -308,7 +325,8 @@ def _profiles_q8(queries_enc, matrix, groups, lanes):
         ),
         matrix.tobytes(),
     )
-    hit = _PROFILE_CACHE.get(key)
+    with _PROFILE_CACHE_LOCK:
+        hit = _PROFILE_CACHE.get(key)
     if hit is not None:
         return hit
     profs, qv, maxq = q8.make_profiles_q8_host(
@@ -319,9 +337,10 @@ def _profiles_q8(queries_enc, matrix, groups, lanes):
         jnp.asarray(qv),
         jnp.asarray(maxq),
     )
-    if len(_PROFILE_CACHE) >= _PROFILE_CACHE_MAX:
-        _PROFILE_CACHE.pop(next(iter(_PROFILE_CACHE)))
-    _PROFILE_CACHE[key] = out
+    with _PROFILE_CACHE_LOCK:
+        while len(_PROFILE_CACHE) >= _PROFILE_CACHE_MAX:
+            _PROFILE_CACHE.pop(next(iter(_PROFILE_CACHE)))
+        _PROFILE_CACHE[key] = out
     return out
 
 
@@ -725,9 +744,8 @@ def search_scores(
 
 def _empty_query_results(database, start, end, go, ge, algorithm):
     n = end - start
-    lengths = np.array(
-        [database.get_encoded(i).shape[0] for i in range(start, end)],
-        dtype=np.int64,
+    lengths = np.asarray(
+        database.get_lengths()[start:end], dtype=np.int64
     )
     if algorithm == "nw":
         scores = np.where(lengths > 0, -(go + (lengths - 1) * ge), 0)
@@ -755,10 +773,13 @@ def _full_results_for(
     )
     results = []
     for k, (score, qs, ts, qe, te, ops) in enumerate(outs):
-        assert score == int(ends[0][k]), (
-            f"traceback score {score} != kernel score {int(ends[0][k])} "
-            f"for target {int(indices[k])}"
-        )
+        if score != int(ends[0][k]):
+            # a kernel/traceback divergence is exactly the bug class
+            # this guard exists for; it must fire under -O too
+            raise RuntimeError(
+                f"traceback score {score} != kernel score "
+                f"{int(ends[0][k])} for target {int(indices[k])}"
+            )
         results.append(
             FullResult(
                 int(indices[k]),

@@ -20,6 +20,8 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List
 
+import threading
+
 import numpy as np
 
 #: Number of database sequences processed per block (one per VPU lane).
@@ -292,12 +294,22 @@ def pack_sequences_flat(
 PACK_CACHE_MAX = 16
 
 
+_CACHE_LOCK = threading.Lock()
+
+
 def _cache_put(cache, key, value):
     if cache is None:
         return
-    while len(cache) >= PACK_CACHE_MAX:
-        cache.pop(next(iter(cache)))
-    cache[key] = value
+    # concurrent ThreadPool workers (align(threads>=2)) insert under
+    # the shared read lock; serialize the FIFO eviction so two racing
+    # misses cannot pop the same key
+    with _CACHE_LOCK:
+        while len(cache) >= PACK_CACHE_MAX:
+            try:
+                cache.pop(next(iter(cache)))
+            except (StopIteration, KeyError):  # pragma: no cover
+                break
+        cache[key] = value
 
 
 def pack_database_slice_flat(

@@ -131,3 +131,36 @@ def test_clear():
     db.clear()
     assert len(db) == 0
     assert list(db) == []
+
+
+def test_writer_not_starved_by_reader_stream():
+    """A writer must acquire the lock under a continuous stream of
+    overlapping readers (writer preference: new readers yield to
+    queued writers)."""
+    import threading
+    import time
+
+    db = Database(["AAAA", "CCCC"])
+    stop = threading.Event()
+    running = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            with db.lock.read:
+                running.set()
+                time.sleep(0.003)
+
+    threads = [threading.Thread(target=reader) for _ in range(4)]
+    for t in threads:
+        t.start()
+    try:
+        assert running.wait(2.0)
+        t0 = time.monotonic()
+        db.append("GGGG")  # takes the write lock
+        elapsed = time.monotonic() - t0
+        assert elapsed < 1.0, f"writer starved for {elapsed:.2f}s"
+        assert len(db) == 3
+    finally:
+        stop.set()
+        for t in threads:
+            t.join()

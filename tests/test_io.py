@@ -154,3 +154,27 @@ def test_load_database_refuses_pickled_archives(tmp_path):
     )
     with pytest.raises(ValueError):
         load_database(path)
+
+
+def test_save_load_suffixless_roundtrip(tmp_path):
+    """np.savez appends '.npz'; load_database must mirror that so the
+    natural save('db') -> load('db') round-trip works."""
+    db = Database(["ACCTG", "TTGA"])
+    base = str(tmp_path / "mydb")  # no suffix
+    save_database(base, db)
+    names, loaded = load_database(base)
+    assert names is None
+    assert list(loaded) == list(db)
+
+
+def test_load_database_rejects_corrupt_archive(tmp_path):
+    """Truncated payloads must fail loudly, not yield short sequences."""
+    path = str(tmp_path / "bad.npz")
+    np.savez_compressed(
+        path,
+        payload=np.zeros(3, np.uint8),
+        lengths=np.array([2, 4], np.int64),  # sums to 6 != 3
+        alphabet=np.frombuffer(b"ACGT", dtype=np.uint8),
+    )
+    with pytest.raises(ValueError, match="corrupt"):
+        load_database(path)
