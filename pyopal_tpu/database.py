@@ -31,6 +31,14 @@ class SharedMutex:
     Python equivalent of the C++17 ``std::shared_mutex`` wrapper of the
     reference (``lib.pyx:153-181``): multiple concurrent readers, one
     exclusive writer.
+
+    Like ``std::shared_mutex``, acquisition is **non-reentrant**: a
+    thread already holding the shared lock must not re-acquire it
+    (e.g. calling ``db.lengths`` or ``db[i]`` inside its own
+    ``with db.lock.read:`` block) — once a writer queues, the nested
+    reader waits for the writer while the writer waits for the
+    outer reader to drain, deadlocking both.  Database accessors take
+    the lock themselves, so user code rarely needs to.
     """
 
     def __init__(self) -> None:

@@ -326,6 +326,85 @@ class TestAsyncSurface:
         assert f_sw.result() == aligner.align(queries[0], db, algorithm="sw")
         assert f_nw.result() == aligner.align(queries[0], db, algorithm="nw")
 
+    def test_align_async_submit_during_flush_does_not_block(self):
+        """A `submit` that lands while another thread's flush holds the
+        device must return immediately (the batch search runs outside
+        the stream lock) and be picked up by the next flush."""
+        import threading
+
+        aligner, db, queries = self._setup()
+        in_search = threading.Event()
+        release = threading.Event()
+        real_align_batch = aligner.align_batch
+
+        def slow_align_batch(*a, **kw):
+            in_search.set()
+            assert release.wait(timeout=30)
+            return real_align_batch(*a, **kw)
+
+        aligner.align_batch = slow_align_batch
+        try:
+            first = aligner.align_async(queries[0], db)
+            t = threading.Thread(target=first.result)
+            t.start()
+            assert in_search.wait(timeout=30)
+            # flush is now inside the (stalled) batch search; submit
+            # must not block behind it
+            done = threading.Event()
+            late = []
+
+            def submitter():
+                late.append(aligner.align_async(queries[1], db))
+                done.set()
+
+            s = threading.Thread(target=submitter)
+            s.start()
+            assert done.wait(timeout=5), "submit blocked behind in-flight flush"
+            release.set()
+            t.join(timeout=30)
+            s.join(timeout=5)
+        finally:
+            release.set()
+            aligner.align_batch = real_align_batch
+        assert first.result() == aligner.align(queries[0], db)
+        assert late[0].result() == aligner.align(queries[1], db)
+
+    def test_align_async_flush_failure_resolves_futures(self):
+        """If the batch search raises, popped futures re-raise the
+        exception instead of hanging/spinning forever."""
+        aligner, db, queries = self._setup()
+
+        def boom(*a, **kw):
+            raise RuntimeError("device fell over")
+
+        fut = aligner.align_async(queries[0], db)
+        aligner.align_batch = boom
+        with pytest.raises(RuntimeError, match="device fell over"):
+            fut.result()
+        # repeated resolution keeps raising, never blocks
+        with pytest.raises(RuntimeError, match="device fell over"):
+            fut.result()
+
+    def test_align_async_forwards_overflow(self):
+        """`overflow` is part of the stream key and forwarded to the
+        batch search (API-parity plumbing; semantics are a no-op)."""
+        aligner, db, queries = self._setup()
+        seen = []
+        real_align_batch = aligner.align_batch
+
+        def spy(*a, **kw):
+            seen.append(kw.get("overflow"))
+            return real_align_batch(*a, **kw)
+
+        aligner.align_batch = spy
+        try:
+            f_s = aligner.align_async(queries[0], db, overflow="simple")
+            f_b = aligner.align_async(queries[0], db, overflow="buckets")
+            assert f_s.result() == f_b.result()
+        finally:
+            aligner.align_batch = real_align_batch
+        assert sorted(seen) == ["buckets", "simple"]
+
 
 def test_shard_assignment_balance():
     """Greedy-LPT dealing of length-sorted blocks balances per-shard

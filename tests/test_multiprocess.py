@@ -22,8 +22,7 @@ def _free_port():
         return s.getsockname()[1]
 
 
-def test_two_process_sharded_equals_single_device(tmp_path):
-    port = _free_port()
+def _run_workers(tmp_path, port, attempt):
     here = os.path.dirname(os.path.abspath(__file__))
     worker = os.path.join(here, "_mp_worker.py")
     env = dict(os.environ)
@@ -33,7 +32,7 @@ def test_two_process_sharded_equals_single_device(tmp_path):
     env["PYTHONPATH"] = os.pathsep.join(
         [os.path.dirname(here)] + env.get("PYTHONPATH", "").split(os.pathsep)
     )
-    outs = [tmp_path / f"out{i}.txt" for i in range(2)]
+    outs = [tmp_path / f"out{attempt}_{i}.txt" for i in range(2)]
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(i), str(port), str(outs[i])],
@@ -52,6 +51,23 @@ def test_two_process_sharded_equals_single_device(tmp_path):
                 q.kill()
             raise
         logs.append(out.decode(errors="replace"))
+    return procs, logs, outs
+
+
+def test_two_process_sharded_equals_single_device(tmp_path):
+    # _free_port closes the probe socket before the coordinator binds
+    # it — a TOCTOU window in which another process can steal the
+    # port.  A stolen port shows up as a coordinator bind failure, so
+    # retry the whole spawn on that signature (rare; bounded).
+    for attempt in range(3):
+        procs, logs, outs = _run_workers(tmp_path, _free_port(), attempt)
+        if any(p.returncode != 0 for p in procs) and any(
+            marker in log
+            for log in logs
+            for marker in ("address already in use", "Address already in use")
+        ):
+            continue
+        break
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"worker {i} failed:\n{logs[i][-3000:]}"
     for i, out in enumerate(outs):
