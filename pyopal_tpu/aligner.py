@@ -309,11 +309,12 @@ class Aligner:
         queries]``.
 
         Arguments and result types match `align`; returns a list with
-        one result list per query.  Only ``score`` and ``end`` modes
-        are supported (use `align` for ``full`` mode realignment of
-        selected hits).
+        one result list per query (``ScoreResult`` / ``EndResult`` /
+        ``FullResult`` by ``mode``).  ``mode="full"`` reconstructs every
+        target's alignment — for top-hit workflows prefer
+        `align_top_k`, which traces back only the winners.
         """
-        if mode not in ("score", "end"):
+        if mode not in _SEARCH_MODES:
             raise ValueError(f"invalid batch search mode: {mode!r}")
         if overflow not in _OVERFLOW_MODES:
             raise ValueError(f"invalid overflow mode: {overflow!r}")
@@ -331,6 +332,17 @@ class Aligner:
             start, end = _clamp_slice(database.get_size(), start, end)
             if start > end:
                 return [[] for _ in encoded]
+            if mode == "full":
+                return engine.search_full_batch(
+                    database,
+                    start,
+                    end,
+                    encoded,
+                    self._int_matrix,
+                    self.gap_open,
+                    self.gap_extend,
+                    algorithm,
+                )
             scores, q_ends, t_ends = engine.search_scores_batch(
                 database,
                 start,
@@ -377,9 +389,12 @@ class Aligner:
             `dict`: ``{"scores": (n_queries, n_targets) int32}`` plus,
             for ``mode="end"``, ``"query_ends"`` and ``"target_ends"``
             arrays of the same shape (0-based coordinates, ``-1`` for
-            empty alignments).
+            empty alignments).  ``mode="full"`` adds ``"query_starts"``
+            / ``"target_starts"`` (``0`` for empty alignments) and
+            ``"cigars"``, an object array of SAM CIGAR strings
+            (`None` for empty alignments, like `FullResult.cigar`).
         """
-        if mode not in ("score", "end"):
+        if mode not in _SEARCH_MODES:
             raise ValueError(f"invalid batch search mode: {mode!r}")
         if overflow not in _OVERFLOW_MODES:
             raise ValueError(f"invalid overflow mode: {overflow!r}")
@@ -398,9 +413,13 @@ class Aligner:
             if start > end:
                 empty = np.zeros((len(encoded), 0), dtype=np.int32)
                 out = {"scores": empty}
-                if mode == "end":
+                if mode != "score":
                     out["query_ends"] = empty.copy()
                     out["target_ends"] = empty.copy()
+                if mode == "full":
+                    out["query_starts"] = empty.copy()
+                    out["target_starts"] = empty.copy()
+                    out["cigars"] = np.empty(empty.shape, dtype=object)
                 return out
             scores, q_ends, t_ends = engine.search_scores_batch(
                 database,
@@ -411,15 +430,32 @@ class Aligner:
                 self.gap_open,
                 self.gap_extend,
                 algorithm,
-                with_ends=(mode == "end"),
+                with_ends=(mode != "score"),
             )
+            if mode == "full":
+                q_starts, t_starts, cigars = engine.full_arrays_from_ends(
+                    database,
+                    start,
+                    end,
+                    encoded,
+                    self._int_matrix,
+                    self.gap_open,
+                    self.gap_extend,
+                    algorithm,
+                    (scores, q_ends, t_ends),
+                )
         if mode == "score":
             return {"scores": scores}
-        return {
+        out = {
             "scores": scores,
             "query_ends": q_ends,
             "target_ends": t_ends,
         }
+        if mode == "full":
+            out["query_starts"] = q_starts
+            out["target_starts"] = t_starts
+            out["cigars"] = cigars
+        return out
 
     def align_many(
         self,
@@ -446,8 +482,7 @@ class Aligner:
 
         Semantically equivalent to ``(self.align(q, database, ...)
         for q in queries)`` except that each batch reflects the
-        database state when its first result is pulled.  ``score`` and
-        ``end`` modes only.
+        database state when its first result is pulled.
         """
         if batch_size < 1:
             raise ValueError(f"invalid batch_size: {batch_size!r}")
@@ -494,7 +529,7 @@ class Aligner:
         flush time, under the database read lock, reflecting the
         database state then (standard future semantics).
         """
-        if mode not in ("score", "end"):
+        if mode not in _SEARCH_MODES:
             raise ValueError(f"invalid batch search mode: {mode!r}")
         if overflow not in _OVERFLOW_MODES:
             raise ValueError(f"invalid overflow mode: {overflow!r}")

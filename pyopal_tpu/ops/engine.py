@@ -756,6 +756,34 @@ def _empty_query_results(database, start, end, go, ge, algorithm):
     return scores.astype(np.int32), np.full(n, -1, np.int32), t_ends
 
 
+def _full_rows_for(
+    database, indices, query_enc, matrix, go, ge, algorithm, ends
+):
+    """Raw full-alignment rows for ``indices`` (global) given a score
+    pass: ``(targets, rows)`` where ``rows[k]`` is the
+    ``(score, q_start, t_start, q_end, t_end, ops)`` tuple for
+    ``indices[k]``, cross-checked against the kernel score.
+
+    ``ends`` holds per-selected-target ``(scores, q_ends, t_ends)``
+    1-D arrays aligned with ``indices``.
+    """
+    from . import traceback as tb
+
+    targets = [database.get_encoded(int(i)) for i in indices]
+    outs = tb.full_alignments_batch(
+        query_enc, targets, matrix, go, ge, algorithm, ends
+    )
+    for k, row in enumerate(outs):
+        if row[0] != int(ends[0][k]):
+            # a kernel/traceback divergence is exactly the bug class
+            # this guard exists for; it must fire under -O too
+            raise RuntimeError(
+                f"traceback score {row[0]} != kernel score "
+                f"{int(ends[0][k])} for target {int(indices[k])}"
+            )
+    return targets, outs
+
+
 def _full_results_for(
     database, indices, query_enc, matrix, go, ge, algorithm, ends
 ):
@@ -764,36 +792,109 @@ def _full_results_for(
     ``ends`` holds per-selected-target ``(scores, q_ends, t_ends)``
     1-D arrays aligned with ``indices``.
     """
-    from . import traceback as tb
-
     Q = int(query_enc.shape[0])
-    targets = [database.get_encoded(int(i)) for i in indices]
-    outs = tb.full_alignments_batch(
-        query_enc, targets, matrix, go, ge, algorithm, ends
+    targets, outs = _full_rows_for(
+        database, indices, query_enc, matrix, go, ge, algorithm, ends
     )
-    results = []
-    for k, (score, qs, ts, qe, te, ops) in enumerate(outs):
-        if score != int(ends[0][k]):
-            # a kernel/traceback divergence is exactly the bug class
-            # this guard exists for; it must fire under -O too
-            raise RuntimeError(
-                f"traceback score {score} != kernel score "
-                f"{int(ends[0][k])} for target {int(indices[k])}"
-            )
-        results.append(
-            FullResult(
-                int(indices[k]),
-                score,
-                qe,
-                te,
-                qs,
-                ts,
-                Q,
-                int(targets[k].shape[0]),
-                ops,
-            )
+    return [
+        FullResult(
+            int(indices[k]),
+            score,
+            qe,
+            te,
+            qs,
+            ts,
+            Q,
+            int(targets[k].shape[0]),
+            ops,
         )
-    return results
+        for k, (score, qs, ts, qe, te, ops) in enumerate(outs)
+    ]
+
+
+def search_full_batch(
+    database,
+    start: int,
+    end: int,
+    queries_enc,
+    matrix: np.ndarray,
+    gap_open: int,
+    gap_extend: int,
+    algorithm: str,
+):
+    """Batched ``mode="full"`` search: one fused score+ends pass over
+    ``database[start:end)`` for every query, then per-query batched
+    traceback of every target (reference parity: its one ``align()``
+    covers all three modes over a slice,
+    ``/root/reference/src/pyopal/lib.pyx:1278-1282``).
+
+    Returns one `FullResult` list per query.  Must be called with the
+    database read lock held.
+    """
+    scores, q_ends, t_ends = search_scores_batch(
+        database,
+        start,
+        end,
+        queries_enc,
+        matrix,
+        gap_open,
+        gap_extend,
+        algorithm,
+        with_ends=True,
+    )
+    indices = np.arange(start, end)
+    return [
+        _full_results_for(
+            database,
+            indices,
+            queries_enc[qi],
+            matrix,
+            gap_open,
+            gap_extend,
+            algorithm,
+            (scores[qi], q_ends[qi], t_ends[qi]),
+        )
+        for qi in range(len(queries_enc))
+    ]
+
+
+def full_arrays_from_ends(
+    database, start, end, queries_enc, matrix, go, ge, algorithm, ends
+):
+    """Columnar ``mode="full"`` assembly from a score+ends pass.
+
+    ``ends`` is ``(scores, q_ends, t_ends)``, each of shape
+    ``(n_queries, end - start)``.  Returns the extra full-mode arrays:
+    ``query_starts``/``target_starts`` int32 arrays of the same shape
+    (``0`` for empty alignments, matching the reference's
+    zero-initialized start locations) and ``cigars``, an object array
+    of SAM CIGAR strings (`None` for empty alignments, like
+    `FullResult.cigar`).  Must be called with the read lock held.
+    """
+    from ..results import cigar_string
+
+    scores, q_ends, t_ends = ends
+    nq, n = scores.shape
+    q_starts = np.zeros((nq, n), dtype=np.int32)
+    t_starts = np.zeros((nq, n), dtype=np.int32)
+    cigars = np.empty((nq, n), dtype=object)
+    indices = np.arange(start, end)
+    for qi in range(nq):
+        _, rows = _full_rows_for(
+            database,
+            indices,
+            queries_enc[qi],
+            matrix,
+            go,
+            ge,
+            algorithm,
+            (scores[qi], q_ends[qi], t_ends[qi]),
+        )
+        for k, (_, qs, ts, _, _, ops) in enumerate(rows):
+            q_starts[qi, k] = qs
+            t_starts[qi, k] = ts
+            cigars[qi, k] = cigar_string(ops)
+    return q_starts, t_starts, cigars
 
 
 def search_top_k(

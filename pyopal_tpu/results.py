@@ -30,6 +30,33 @@ _CIGAR_SYMBOLS = "MID"
 _OP_FROM_SYMBOL = {c: i for i, c in enumerate(_ALIGN_SYMBOLS)}
 
 
+def cigar_string(ops):
+    """SAM CIGAR string for an op array (`None` for empty alignments).
+
+    Folds mismatches into matches and run-length encodes, exactly as
+    the reference does (``lib.pyx:1019-1036``); shared by
+    `FullResult.cigar` and the columnar full-mode front-ends.
+    """
+    ops = np.asarray(ops, dtype=np.uint8)
+    if ops.shape[0] == 0:
+        return None
+    folded = ops % 3
+    chunks = []
+    count = 0
+    current = int(folded[0])
+    for symbol in folded:
+        if symbol == current:
+            count += 1
+        else:
+            chunks.append(str(count))
+            chunks.append(_CIGAR_SYMBOLS[current])
+            current = int(symbol)
+            count = 1
+    chunks.append(str(count))
+    chunks.append(_CIGAR_SYMBOLS[current])
+    return "".join(chunks)
+
+
 class ScoreResult:
     """Per-target hit carrying the alignment score (``score`` mode)."""
 
@@ -283,25 +310,7 @@ class FullResult(EndResult):
             '1D5M1D1M'
 
         """
-        if self._ops.shape[0] == 0:
-            return None
-        # fold mismatches into matches and run-length encode, exactly as
-        # the reference does (lib.pyx:1019-1036)
-        folded = self._ops % 3
-        chunks = []
-        count = 0
-        current = int(folded[0])
-        for symbol in folded:
-            if symbol == current:
-                count += 1
-            else:
-                chunks.append(str(count))
-                chunks.append(_CIGAR_SYMBOLS[current])
-                current = int(symbol)
-                count = 1
-        chunks.append(str(count))
-        chunks.append(_CIGAR_SYMBOLS[current])
-        return "".join(chunks)
+        return cigar_string(self._ops)
 
     def identity(self):
         """Fraction of aligned columns that are exact matches.

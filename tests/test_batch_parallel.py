@@ -81,10 +81,61 @@ class TestAlignBatch:
         hits = al.align_top_k("MKT", db, k=5, start=1)
         assert [h.target_index for h in hits] == [1]
 
-    def test_full_mode_rejected(self):
+    def test_full_mode_matches_single(self):
+        rng = np.random.default_rng(9)
+        db = Database(_random_db(rng, 15))
+        queries = ["MKTAYIAK", "ACDEFGHIKLMNP"]
+        al = Aligner()
+        for algorithm in ("sw", "nw", "ov"):
+            batch = al.align_batch(queries, db, mode="full",
+                                   algorithm=algorithm)
+            for qi, q in enumerate(queries):
+                single = al.align(q, db, mode="full", algorithm=algorithm)
+                assert batch[qi] == single, (algorithm, qi)
+
+    def test_full_mode_arrays_columnar(self):
+        rng = np.random.default_rng(10)
+        db = Database(_random_db(rng, 12))
+        queries = ["MKTAYIAK", "WWWW"]
+        al = Aligner()
+        out = al.align_arrays(queries, db, mode="full")
+        assert set(out) == {
+            "scores", "query_ends", "target_ends",
+            "query_starts", "target_starts", "cigars",
+        }
+        for qi, q in enumerate(queries):
+            want = al.align(q, db, mode="full")
+            for ti, hit in enumerate(want):
+                assert out["scores"][qi, ti] == hit.score
+                assert out["query_ends"][qi, ti] == hit.query_end
+                assert out["target_ends"][qi, ti] == hit.target_end
+                assert out["query_starts"][qi, ti] == hit._query_start
+                assert out["target_starts"][qi, ti] == hit._target_start
+                assert out["cigars"][qi, ti] == hit.cigar()
+
+    def test_full_mode_empty_slice_shapes(self):
+        db = Database(["MKT", "AAA"])
+        out = Aligner().align_arrays(["M"], db, mode="full",
+                                     start=2, end=2)
+        assert out["scores"].shape == (1, 0)
+        assert out["cigars"].shape == (1, 0)
+
+    def test_invalid_mode_rejected(self):
         db = Database(["MKT"])
         with pytest.raises(ValueError):
-            Aligner().align_batch(["M"], db, mode="full")
+            Aligner().align_batch(["M"], db, mode="banana")
+        with pytest.raises(ValueError):
+            Aligner().align_arrays(["M"], db, mode="banana")
+
+    def test_full_mode_via_align_many_and_async(self):
+        rng = np.random.default_rng(11)
+        db = Database(_random_db(rng, 8))
+        al = Aligner()
+        want = al.align("MKTAYIAK", db, mode="full")
+        got = list(al.align_many(["MKTAYIAK"], db, mode="full"))
+        assert got[0] == want
+        fut = al.align_async("MKTAYIAK", db, mode="full")
+        assert fut.result() == want
 
     def test_empty(self):
         assert Aligner().align_batch([], Database(["MKT"])) == []
@@ -317,7 +368,7 @@ class TestAsyncSurface:
         with pytest.raises(ValueError):
             aligner.align_async("A-A", db)  # bad symbol
         with pytest.raises(ValueError):
-            aligner.align_async("AA", db, mode="full")
+            aligner.align_async("AA", db, mode="banana")
 
     def test_align_async_separate_streams(self):
         aligner, db, queries = self._setup()
