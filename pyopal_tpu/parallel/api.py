@@ -37,7 +37,9 @@ from .mesh import device_mesh
 __all__ = ["align_arrays_sharded", "align_top_k_sharded"]
 
 
-def _pack_sharded_cached(database, seqs, n_shards, lanes, local_shards):
+def _pack_sharded_cached(
+    database, seqs, n_shards, lanes, local_shards, start, end
+):
     """`pack_flat_sharded` memoized on the database mutation version
     (same contract as `pyopal_tpu.ops.packing.pack_database_slice_flat`),
     so repeat calls skip repacking and re-uploading the database.
@@ -50,6 +52,8 @@ def _pack_sharded_cached(database, seqs, n_shards, lanes, local_shards):
         n_shards,
         lanes,
         tuple(local_shards),
+        start,
+        end,
         database.get_version(),
     )
     if cache is not None and key in cache:
@@ -63,6 +67,75 @@ def _pack_sharded_cached(database, seqs, n_shards, lanes, local_shards):
     return packed
 
 
+UINT32_MAX = 0xFFFFFFFF
+
+
+def _xla_mesh_scores(
+    database,
+    start,
+    end,
+    queries_enc,
+    matrix,
+    gap_open,
+    gap_extend,
+    algorithm,
+    with_ends,
+    mesh,
+    n_shards,
+):
+    """Int32 XLA engine per shard: the non-TPU mesh route.
+
+    CPU/GPU backends have no Mosaic compiler, so running the Pallas
+    kernels there means interpret mode — orders of magnitude slower
+    than the vectorized int32 XLA engine the single-device dispatcher
+    uses.  This route shards the grouped pack's blocks over the mesh
+    (`pyopal_tpu.parallel.sharded.sharded_search_group`) and runs
+    `pyopal_tpu.ops.xla.search_block` on each device's local blocks —
+    the same engine, same exact int32 semantics, mesh-parallel.  It
+    also has a wider domain than the fp32 kernels (any matrix
+    magnitude, negative gap parameters), so every non-empty query can
+    take it.
+
+    Returns ``(scores, q_ends, t_ends)`` in slice-local target order.
+    Caller holds the database read lock.
+    """
+    from ..ops import packing, xla
+    from . import sharded
+
+    packed = packing.pack_database_slice(database, start, end)
+    n = packed.n_targets
+    nq = len(queries_enc)
+    scores = np.zeros((nq, n), np.int32)
+    q_ends = np.full((nq, n), -1, np.int32)
+    t_ends = np.full((nq, n), -1, np.int32)
+    profs = [xla.make_profile_t(q, matrix) for q in queries_enc]
+    for group in packed.groups:
+        targets, lengths = sharded.pad_blocks(
+            group.targets.astype(np.int32), group.lengths, n_shards
+        )
+        idx = group.indices.reshape(-1)
+        valid = idx >= 0
+        for qi in range(nq):
+            s, qe, te = sharded.sharded_search_group(
+                mesh,
+                profs[qi],
+                targets,
+                lengths,
+                gap_open,
+                gap_extend,
+                algorithm,
+                with_ends=with_ends,
+                use_pallas=False,
+            )
+            # one stacked (cross-process-safe) host gather per launch
+            block = sfm._gather_host(jnp.stack([s, qe, te], axis=0))
+            block = block.reshape(3, -1)[:, : idx.shape[0]]
+            scores[qi, idx[valid]] = block[0, valid]
+            q_ends[qi, idx[valid]] = block[1, valid]
+            t_ends[qi, idx[valid]] = block[2, valid]
+    return scores, q_ends, t_ends
+
+
 def align_arrays_sharded(
     queries,
     database,
@@ -72,6 +145,8 @@ def align_arrays_sharded(
     gap_extend: int = 1,
     mode: str = "score",
     algorithm: str = "sw",
+    start: int = 0,
+    end: int = UINT32_MAX,
     mesh=None,
 ):
     """Columnar batch search sharded over a device mesh.
@@ -97,22 +172,27 @@ def align_arrays_sharded(
             defaults).
         gap_open (`int`): gap opening penalty (non-negative).
         gap_extend (`int`): gap extension penalty (non-negative).
-        mode (`str`): ``"score"`` or ``"end"``.
+        mode (`str`): ``"score"``, ``"end"`` or ``"full"``.
         algorithm (`str`): ``"nw"``, ``"hw"``, ``"ov"`` or ``"sw"``.
+        start (`int`): Start offset in the database.
+        end (`int`): End offset in the database.
         mesh: a 1-D `jax.sharding.Mesh` with axis ``"db"`` (`None`:
             all local devices via `pyopal_tpu.parallel.device_mesh`).
 
     Returns:
         `dict`: ``{"scores": (n_queries, n_targets) int32}`` plus, for
-        ``mode="end"``, ``"query_ends"`` and ``"target_ends"``.
+        ``mode="end"``, ``"query_ends"`` and ``"target_ends"``;
+        ``mode="full"`` adds ``"query_starts"`` / ``"target_starts"``
+        and ``"cigars"`` exactly like
+        `pyopal_tpu.Aligner.align_arrays`.
     """
-    from ..aligner import Aligner
+    from ..aligner import Aligner, _clamp_slice
     from ..ops import engine, pallas_q8 as q8, pallas_ragged as pr
 
     aligner = Aligner(
         scoring_matrix, gap_open=gap_open, gap_extend=gap_extend
     )
-    if mode not in ("score", "end"):
+    if mode not in ("score", "end", "full"):
         raise ValueError(f"invalid batch search mode: {mode!r}")
     if algorithm not in ("nw", "hw", "ov", "sw"):
         raise ValueError(f"invalid algorithm: {algorithm!r}")
@@ -125,8 +205,12 @@ def align_arrays_sharded(
     n_shards = int(np.prod(list(mesh.shape.values())))
     matrix = aligner.scoring_matrix.int_data()
     safe_pad = matrix.shape[1] <= 31
-    interpret = jax.default_backend() != "tpu"
-    with_ends = mode == "end"
+    # non-TPU backends run the int32 XLA engine per shard instead of
+    # interpret-mode Pallas (engine._INTERPRET keeps the Pallas mesh
+    # path testable without TPU hardware)
+    pallas_mesh = jax.default_backend() == "tpu" or engine._INTERPRET
+    interpret = pallas_mesh and jax.default_backend() != "tpu"
+    with_ends = mode != "score"
 
     queries_enc = [
         np.frombuffer(database.alphabet.encode(q), dtype=np.uint8)
@@ -139,7 +223,8 @@ def align_arrays_sharded(
     # mutation-version cache key and every packed snapshot below are
     # only coherent while writers are excluded
     with database.lock.read:
-        n = database.get_size()
+        start, end = _clamp_slice(database.get_size(), start, end)
+        n = max(end - start, 0)
 
         if nq == 0 or n == 0:
             empty = np.zeros((nq, n), dtype=np.int32)
@@ -147,28 +232,38 @@ def align_arrays_sharded(
             if with_ends:
                 out["query_ends"] = np.full((nq, n), -1, np.int32)
                 out["target_ends"] = np.full((nq, n), -1, np.int32)
+            if mode == "full":
+                out["query_starts"] = np.zeros((nq, n), np.int32)
+                out["target_starts"] = np.zeros((nq, n), np.int32)
+                out["cigars"] = np.empty((nq, n), dtype=object)
             return out
 
-        # the mesh path runs the fp32 Pallas kernels: it has the same
+        # the Pallas mesh path runs the fp32 kernels: it has the same
         # exactness domain as the single-device engine.  Out-of-domain
         # calls (|matrix| > 256 bf16-profile window, DP values past the
         # fp32 exact-integer window), empty queries, and queries beyond
         # the kernels' VMEM tier fall back to the single-device engine
         # dispatcher, which routes them to the int32 XLA / segmented /
-        # empty-query paths — same scores, without the mesh.
-        use_mesh = np.abs(matrix).max(
-            initial=0
-        ) <= 256 and engine._fp32_exact_domain(
-            database, 0, n, queries_enc, matrix, gap_open, gap_extend
-        )
-        mesh_ok = [
-            use_mesh
-            and q.shape[0] > 0
-            and pr.supports(
-                q.shape[0], algorithm, with_ends, safe_pad=safe_pad
+        # empty-query paths — same scores, without the mesh.  The XLA
+        # mesh route (non-TPU backends) is int32-exact for any query,
+        # so only empty queries leave it.
+        if pallas_mesh:
+            use_mesh = np.abs(matrix).max(
+                initial=0
+            ) <= 256 and engine._fp32_exact_domain(
+                database, start, end, queries_enc, matrix,
+                gap_open, gap_extend,
             )
-            for q in queries_enc
-        ]
+            mesh_ok = [
+                use_mesh
+                and q.shape[0] > 0
+                and pr.supports(
+                    q.shape[0], algorithm, with_ends, safe_pad=safe_pad
+                )
+                for q in queries_enc
+            ]
+        else:
+            mesh_ok = [q.shape[0] > 0 for q in queries_enc]
         mesh_idx = [i for i, ok in enumerate(mesh_ok) if ok]
         fb_idx = [i for i, ok in enumerate(mesh_ok) if not ok]
 
@@ -178,8 +273,8 @@ def align_arrays_sharded(
 
         mesh_queries = [queries_enc[i] for i in mesh_idx]
         seqs = (
-            [database.get_encoded(i) for i in range(n)]
-            if mesh_idx
+            [database.get_encoded(i) for i in range(start, end)]
+            if mesh_idx and pallas_mesh
             else []
         )
 
@@ -187,7 +282,7 @@ def align_arrays_sharded(
 
         def _pack(lanes):
             return _pack_sharded_cached(
-                database, seqs, n_shards, lanes, local_shards
+                database, seqs, n_shards, lanes, local_shards, start, end
             )
 
         def _store(qidx_rows, s, qe, te):
@@ -197,8 +292,24 @@ def align_arrays_sharded(
                     q_ends[qi] = qe[row]
                     t_ends[qi] = te[row]
 
+        if mesh_idx and not pallas_mesh:
+            s, qe, te = _xla_mesh_scores(
+                database,
+                start,
+                end,
+                mesh_queries,
+                matrix,
+                gap_open,
+                gap_extend,
+                algorithm,
+                with_ends,
+                mesh,
+                n_shards,
+            )
+            _store(list(enumerate(mesh_idx)), s, qe, te)
+
         for tier, lanes_q8, groups, v2_idx in engine.plan_tier_launches(
-            mesh_queries, safe_pad
+            mesh_queries if pallas_mesh else [], safe_pad
         ):
             if groups:
                 profs, qv, maxq = q8.make_profiles_q8_host(
@@ -257,8 +368,8 @@ def align_arrays_sharded(
         if fb_idx:
             s, qe, te = engine.search_scores_batch(
                 database,
-                0,
-                n,
+                start,
+                end,
                 [queries_enc[i] for i in fb_idx],
                 matrix,
                 gap_open,
@@ -268,10 +379,27 @@ def align_arrays_sharded(
             )
             _store(list(enumerate(fb_idx)), s, qe, te)
 
+        if mode == "full":
+            q_starts, t_starts, cigars = engine.full_arrays_from_ends(
+                database,
+                start,
+                end,
+                queries_enc,
+                matrix,
+                gap_open,
+                gap_extend,
+                algorithm,
+                (scores, q_ends, t_ends),
+            )
+
     out = {"scores": scores}
     if with_ends:
         out["query_ends"] = q_ends
         out["target_ends"] = t_ends
+    if mode == "full":
+        out["query_starts"] = q_starts
+        out["target_starts"] = t_starts
+        out["cigars"] = cigars
     return out
 
 
@@ -327,6 +455,8 @@ def align_top_k_sharded(
     gap_open: int = 3,
     gap_extend: int = 1,
     algorithm: str = "sw",
+    start: int = 0,
+    end: int = UINT32_MAX,
     mesh=None,
 ):
     """Full alignments of each query's ``k`` best targets, mesh-wide.
@@ -348,7 +478,7 @@ def align_top_k_sharded(
     `list` of `~pyopal_tpu.FullResult` (sorted by descending score, at
     most ``k`` long) per query.
     """
-    from ..aligner import Aligner
+    from ..aligner import Aligner, _clamp_slice
     from ..ops import engine, pallas_ragged as pr
 
     aligner = Aligner(
@@ -367,7 +497,10 @@ def align_top_k_sharded(
     n_shards = int(np.prod(list(mesh.shape.values())))
     matrix = aligner.scoring_matrix.int_data()
     safe_pad = matrix.shape[1] <= 31
-    interpret = jax.default_backend() != "tpu"
+    # non-TPU backends: int32 XLA engine per shard (see
+    # `align_arrays_sharded` / `_xla_mesh_scores`)
+    pallas_mesh = jax.default_backend() == "tpu" or engine._INTERPRET
+    interpret = pallas_mesh and jax.default_backend() != "tpu"
 
     queries_enc = [
         np.frombuffer(database.alphabet.encode(q), dtype=np.uint8)
@@ -377,29 +510,69 @@ def align_top_k_sharded(
     out = [[] for _ in range(nq)]
 
     with database.lock.read:
-        n = database.get_size()
+        start, end = _clamp_slice(database.get_size(), start, end)
+        n = max(end - start, 0)
         if nq == 0 or n == 0 or k == 0:
             return out
 
-        use_mesh = np.abs(matrix).max(
-            initial=0
-        ) <= 256 and engine._fp32_exact_domain(
-            database, 0, n, queries_enc, matrix, gap_open, gap_extend
-        )
-        mesh_ok = [
-            use_mesh
-            and q.shape[0] > 0
-            and pr.supports(q.shape[0], algorithm, True, safe_pad=safe_pad)
-            for q in queries_enc
-        ]
+        if pallas_mesh:
+            use_mesh = np.abs(matrix).max(
+                initial=0
+            ) <= 256 and engine._fp32_exact_domain(
+                database, start, end, queries_enc, matrix,
+                gap_open, gap_extend,
+            )
+            mesh_ok = [
+                use_mesh
+                and q.shape[0] > 0
+                and pr.supports(
+                    q.shape[0], algorithm, True, safe_pad=safe_pad
+                )
+                for q in queries_enc
+            ]
+        else:
+            mesh_ok = [q.shape[0] > 0 for q in queries_enc]
         mesh_idx = [i for i, ok in enumerate(mesh_ok) if ok]
         fb_idx = [i for i, ok in enumerate(mesh_ok) if not ok]
 
-        if mesh_idx:
+        if mesh_idx and not pallas_mesh:
+            # mesh-parallel score pass, host-exact selection.  The
+            # O(k)-communication candidate pipeline below is a link
+            # optimization for sharded accelerators; on a CPU/GPU mesh
+            # the full (n_q, n) gather is local memory traffic.
+            kk = min(k, n)
+            s, qe, te = _xla_mesh_scores(
+                database,
+                start,
+                end,
+                [queries_enc[i] for i in mesh_idx],
+                matrix,
+                gap_open,
+                gap_extend,
+                algorithm,
+                True,
+                mesh,
+                n_shards,
+            )
+            for row, qi in enumerate(mesh_idx):
+                order = np.argsort(-s[row], kind="stable")[:kk]
+                out[qi] = engine._full_results_for(
+                    database,
+                    order + start,
+                    queries_enc[qi],
+                    matrix,
+                    gap_open,
+                    gap_extend,
+                    algorithm,
+                    (s[row][order], qe[row][order], te[row][order]),
+                )
+
+        if mesh_idx and pallas_mesh:
             local_shards = sfm.local_shards_of_mesh(mesh)
-            seqs = [database.get_encoded(i) for i in range(n)]
+            seqs = [database.get_encoded(i) for i in range(start, end)]
             sf = _pack_sharded_cached(
-                database, seqs, n_shards, sfm.LANES, local_shards
+                database, seqs, n_shards, sfm.LANES, local_shards,
+                start, end,
             )
             shard_counts = np.bincount(
                 sf.inv_shard, minlength=n_shards
@@ -452,7 +625,7 @@ def align_top_k_sharded(
                             continue
                         out[qidx[row]] = engine._full_results_for(
                             database,
-                            idxs,
+                            idxs + start,
                             cohort[row],
                             matrix,
                             gap_open,
@@ -472,7 +645,7 @@ def align_top_k_sharded(
                 gap_extend,
                 algorithm,
                 k,
-                0,
-                n,
+                start,
+                end,
             )
     return out

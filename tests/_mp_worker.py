@@ -66,6 +66,9 @@ def main():
 
     db = po.Database(targets)
     mesh = device_mesh()
+
+    # route 1 (CPU default): the int32-XLA-per-shard mesh route, incl.
+    # its cross-process host gather
     got = align_arrays_sharded(queries, db, mode="end", algorithm="sw")
 
     # oracle: the single-device engine on this process's local backend
@@ -75,14 +78,31 @@ def main():
         if not np.array_equal(got[k], want[k]):
             raise AssertionError(f"{k} mismatch on process {pid}")
 
-    # the O(k)-communication top-k pipeline under a real 2-process
-    # mesh: candidates cross hosts via the all-gather collective
-    from pyopal_tpu.parallel import align_top_k_sharded
+    # route 2: the Pallas flat-sharded path (interpret kernels on CPU)
+    # with process-local packed payloads — forced via the test hook
+    from pyopal_tpu.ops import engine
 
-    top_got = align_top_k_sharded([queries[0]], db, k=7)[0]
-    top_want = aligner.align_top_k(queries[0], db, k=7)
-    if top_got != top_want:
-        raise AssertionError(f"top-k mismatch on process {pid}")
+    engine._INTERPRET = True
+    try:
+        got = align_arrays_sharded(
+            queries, db, mode="end", algorithm="sw"
+        )
+        for k in ("scores", "query_ends", "target_ends"):
+            if not np.array_equal(got[k], want[k]):
+                raise AssertionError(
+                    f"pallas-route {k} mismatch on process {pid}"
+                )
+
+        # the O(k)-communication top-k pipeline under a real 2-process
+        # mesh: candidates cross hosts via the all-gather collective
+        from pyopal_tpu.parallel import align_top_k_sharded
+
+        top_got = align_top_k_sharded([queries[0]], db, k=7)[0]
+        top_want = aligner.align_top_k(queries[0], db, k=7)
+        if top_got != top_want:
+            raise AssertionError(f"top-k mismatch on process {pid}")
+    finally:
+        engine._INTERPRET = False
 
     # process-locality: the cached pack holds payloads only for this
     # process's shards, i.e. about half the database

@@ -46,6 +46,8 @@ def _reference(queries, db, **kw):
         db,
         mode=kw.get("mode", "score"),
         algorithm=kw.get("algorithm", "sw"),
+        start=kw.get("start", 0),
+        end=kw.get("end", 0xFFFFFFFF),
     )
 
 
@@ -53,13 +55,21 @@ def _check(queries, db, **kw):
     got = align_arrays_sharded(queries, db, **kw)
     want = _reference(queries, db, **kw)
     np.testing.assert_array_equal(got["scores"], want["scores"])
-    if kw.get("mode") == "end":
+    if kw.get("mode") in ("end", "full"):
         np.testing.assert_array_equal(
             got["query_ends"], want["query_ends"]
         )
         np.testing.assert_array_equal(
             got["target_ends"], want["target_ends"]
         )
+    if kw.get("mode") == "full":
+        np.testing.assert_array_equal(
+            got["query_starts"], want["query_starts"]
+        )
+        np.testing.assert_array_equal(
+            got["target_starts"], want["target_starts"]
+        )
+        assert got["cigars"].tolist() == want["cigars"].tolist()
 
 
 def test_import_line_from_docstring():
@@ -138,30 +148,130 @@ def test_empty_inputs():
 
 
 def test_repacking_cached_across_calls():
-    # repeat calls must reuse the sharded pack (version-keyed cache)
+    # repeat calls must reuse the sharded pack (version-keyed cache);
+    # the sharded flat pack is only built by the Pallas mesh route, so
+    # force it via the interpret hook on this CPU backend
+    from pyopal_tpu.ops import engine
+
     db = _random_db(20, 10, 30, seed=16)
     queries = _random_queries(2, 10, 20, seed=17)
-    align_arrays_sharded(queries, db)
-    cached = [k for k in db._pack_cache if k[0] == "sharded"]
-    assert cached
-    before = {k: id(v) for k, v in db._pack_cache.items()}
-    align_arrays_sharded(queries, db)
-    after = {k: id(v) for k, v in db._pack_cache.items()}
-    assert before == after
-    # mutation invalidates: version key changes
-    db.append("ACDEF")
-    align_arrays_sharded(queries, db)
-    assert all(
-        k not in db._pack_cache for k in before if k[0] == "sharded"
-    )
+    engine._INTERPRET = True
+    try:
+        align_arrays_sharded(queries, db)
+        cached = [k for k in db._pack_cache if k[0] == "sharded"]
+        assert cached
+        before = {k: id(v) for k, v in db._pack_cache.items()}
+        align_arrays_sharded(queries, db)
+        after = {k: id(v) for k, v in db._pack_cache.items()}
+        assert before == after
+        # mutation invalidates: version key changes
+        db.append("ACDEF")
+        align_arrays_sharded(queries, db)
+        assert all(
+            k not in db._pack_cache for k in before if k[0] == "sharded"
+        )
+    finally:
+        engine._INTERPRET = False
 
 
 def test_validation_errors():
     db = _random_db(5, 10, 20, seed=18)
     with pytest.raises(ValueError):
-        align_arrays_sharded(["ACDEF"], db, mode="full")
+        align_arrays_sharded(["ACDEF"], db, mode="banana")
     with pytest.raises(ValueError):
         align_arrays_sharded(["ACDEF"], db, algorithm="bogus")
+    with pytest.raises(IndexError):
+        align_arrays_sharded(["ACDEF"], db, start=-1)
+    with pytest.raises(IndexError):
+        align_arrays_sharded(["ACDEF"], db, start=4, end=2)
+
+
+def test_full_mode_matches_single_device():
+    # mode="full" on the mesh front-end: scores/ends/starts/cigars all
+    # equal the single-device align_arrays reference
+    db = _random_db(30, 5, 50, seed=41)
+    queries = _random_queries(3, 15, 40, seed=42)
+    for algorithm in ("sw", "nw"):
+        _check(queries, db, mode="full", algorithm=algorithm)
+
+
+def test_full_mode_cigars_match_objects():
+    # the columnar cigars equal FullResult.cigar() from align()
+    db = _random_db(12, 5, 30, seed=43)
+    queries = _random_queries(2, 10, 25, seed=44)
+    out = align_arrays_sharded(queries, db, mode="full")
+    aligner = po.Aligner()
+    for qi, q in enumerate(queries):
+        want = aligner.align(q, db, mode="full")
+        for ti, hit in enumerate(want):
+            assert out["cigars"][qi][ti] == hit.cigar()
+            assert out["query_starts"][qi][ti] == hit._query_start
+            assert out["target_starts"][qi][ti] == hit._target_start
+
+
+def test_slice_start_end():
+    # start/end restrict the searched slice; scores stay slice-local
+    # like the single-device columnar front-end
+    db = _random_db(40, 10, 60, seed=45)
+    queries = _random_queries(4, 15, 40, seed=46)
+    for mode in ("score", "end", "full"):
+        _check(queries, db, mode=mode, start=7, end=31)
+    # end beyond the database clamps
+    _check(queries, db, mode="end", start=35, end=10_000)
+
+
+def test_non_tpu_mesh_takes_xla_engine_not_interpret():
+    """On a non-TPU backend the mesh front-ends must run the int32 XLA
+    engine per shard — never interpret-mode Pallas (a perf trap: orders
+    of magnitude slower than the XLA engine on CPU meshes)."""
+    from pyopal_tpu.ops import pallas_q8, pallas_ragged
+    from pyopal_tpu.parallel import align_top_k_sharded
+
+    db = _random_db(30, 5, 50, seed=51)
+    queries = _random_queries(9, 15, 40, seed=52)
+
+    def boom(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("Pallas kernel dispatched on a CPU mesh")
+
+    orig_flat = pallas_ragged.search_flat
+    orig_q8 = pallas_q8.search_flat_q8
+    pallas_ragged.search_flat = boom
+    pallas_q8.search_flat_q8 = boom
+    try:
+        _check(queries, db, mode="end")
+        got = align_top_k_sharded(queries[:2], db, k=5)
+    finally:
+        pallas_ragged.search_flat = orig_flat
+        pallas_q8.search_flat_q8 = orig_q8
+    aligner = po.Aligner()
+    for qi, q in enumerate(queries[:2]):
+        assert got[qi] == aligner.align_top_k(q, db, k=5), qi
+
+
+def test_interpret_hook_keeps_pallas_mesh_path_testable():
+    """engine._INTERPRET forces the Pallas mesh route (interpreted) on
+    any backend, so its dispatch bookkeeping stays testable."""
+    from pyopal_tpu.ops import engine
+
+    db = _random_db(20, 5, 40, seed=53)
+    queries = _random_queries(9, 15, 40, seed=54)
+    engine._INTERPRET = True
+    try:
+        _check(queries, db, mode="end")
+    finally:
+        engine._INTERPRET = False
+
+
+def test_top_k_sharded_slice():
+    from pyopal_tpu.parallel import align_top_k_sharded
+
+    db = _random_db(80, 5, 70, seed=47)
+    queries = _random_queries(2, 20, 40, seed=48)
+    got = align_top_k_sharded(queries, db, k=5, start=10, end=60)
+    aligner = po.Aligner()
+    for qi, q in enumerate(queries):
+        want = aligner.align_top_k(q, db, k=5, start=10, end=60)
+        assert got[qi] == want, qi
 
 
 def test_empty_query_matches_single_device():
