@@ -65,6 +65,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import ml_dtypes
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
@@ -72,6 +73,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models import ALGORITHMS
 from .pallas_kernel import ALPHA, NEG, PAD_SCORE
 from .pallas_ragged import CHUNK, LANES, profile_qpad
+
+#: narrow-pass clamp: bf16 represents every integer in [-256, 256]
+#: exactly, so the bf16 first pass stores H in [0, NARROW_CAP] and any
+#: lane whose true score reaches NARROW_CAP is flagged for an exact
+#: rescore (the TPU analog of Opal's saturating int8 first pass +
+#: precision escalation, ``/root/reference/src/pyopal/opal.pxd:56-67``)
+NARROW_CAP = 255
 
 QB = 8  # queries per group (the sublane width)
 UNROLL = 8  # query-row loop unroll
@@ -159,6 +167,7 @@ def _q8_kernel(
     chunk: int,
     unroll: int,
     ncols: int,
+    narrow: bool,
 ):
     spec = ALGORITHMS[algorithm]
     _, Q_pad, _, L = S_ref.shape
@@ -168,8 +177,25 @@ def _q8_kernel(
     is_last = los_ref[i_step] == 1
     maxq = maxq_ref[gi]
 
-    gof = np.float32(go)
-    gef = np.float32(ge)
+    # narrow mode: the whole DP state (H/E/S/best) is bf16 — ~1.55x
+    # the f32 VPU issue rate (experiments/probe_bf16_rate.py) and half
+    # the VMEM traffic.  Exactness: stored H is clamped into
+    # [0, NARROW_CAP], where bf16 integers are exact; any lane whose
+    # true score reaches the cap stores exactly NARROW_CAP (values in
+    # (256, 512] round within +-1 and the clamp maps them back), so
+    # ``score >= NARROW_CAP`` is a sound overflow flag and unflagged
+    # lanes are bit-exact.  sw only (H >= 0 under the local clamp).
+    # narrow is score-only: the ends-tracking per-cell compares have
+    # no packed-bf16 lowering on this target ("Target does not support
+    # this comparison"), and score-only needs none
+    assert not narrow or (algorithm == "sw" and not with_ends
+                          and 0 <= go <= NARROW_CAP
+                          and 0 <= ge <= NARROW_CAP)
+    sdt = jnp.bfloat16 if narrow else jnp.float32
+    ndt = ml_dtypes.bfloat16 if narrow else np.float32
+    gof = ndt(go)
+    gef = ndt(ge)
+    capv = ndt(NARROW_CAP)
 
     prof = prof_ref[0]  # (QB*Q_pad, 32) bf16
     qv = qv_ref[:]  # (1, QB, LANES) int32
@@ -180,7 +206,7 @@ def _q8_kernel(
     # empty-target score per query slot: nw/hw consume the whole query
     # as one first-column gap; sw/ov report 0 (reference semantics,
     # `/root/reference/src/pyopal/lib.pyx:1290-1295`)
-    empty_score = -(gof + (qvf - 1.0) * gef)
+    empty_score = -(np.float32(go) + (qvf - 1.0) * np.float32(ge))
 
     @pl.when(c == 0)
     def _init():
@@ -188,16 +214,16 @@ def _q8_kernel(
         if spec.penalize_first_col:
             H_ref[:] = -(gof + qrow.astype(jnp.float32) * gef)
         else:
-            H_ref[:] = jnp.zeros((Q_pad, QB, L), jnp.float32)
-        E_ref[:] = jnp.full((Q_pad, QB, L), NEG, jnp.float32)
+            H_ref[:] = jnp.zeros((Q_pad, QB, L), sdt)
+        E_ref[:] = jnp.full((Q_pad, QB, L), NEG, sdt)
         if spec.penalize_first_col:  # hw (nw's best_ref is unused)
             best_ref[:] = empty_score
         else:
-            best_ref[:] = jnp.zeros((1, QB, L), jnp.float32)
+            best_ref[:] = jnp.zeros((1, QB, L), sdt)
         if algorithm == "nw":
             cap_ref[:] = empty_score
         else:
-            cap_ref[:] = jnp.full((1, QB, L), NEG, jnp.float32)
+            cap_ref[:] = jnp.full((1, QB, L), NEG, sdt)
         neg1 = jnp.full((1, QB, L), -1, jnp.int32)
         bi_ref[:] = neg1
         bj_ref[:] = neg1
@@ -233,7 +259,7 @@ def _q8_kernel(
             )
         at_end = [j0 + k == (lengths - 1) for k in range(ncols)]
 
-        ones = jnp.ones((1, QB, L), jnp.float32)
+        ones = jnp.ones((1, QB, L), sdt)
         jfs = [(j0 + k).astype(jnp.float32) for k in range(ncols)]
         if spec.penalize_first_row:  # nw: penalized row -1 boundary
             hups = [ones * (-(gof + jfs[k] * gef)) for k in range(ncols)]
@@ -241,9 +267,9 @@ def _q8_kernel(
                 j0 == 0, 0.0, -(gof + (jfs[0] - 1.0) * gef)
             )
         else:
-            hups = [ones * 0.0 for _ in range(ncols)]
-            hdiag0 = ones * 0.0
-        fs = [jnp.full((1, QB, L), NEG, jnp.float32)] * ncols
+            hups = [jnp.zeros((1, QB, L), sdt) for _ in range(ncols)]
+            hdiag0 = jnp.zeros((1, QB, L), sdt)
+        fs = [jnp.full((1, QB, L), NEG, sdt)] * ncols
         # per-column tracking accumulators, seeded from the running
         # carry: merging them back in column order (strictly-greater)
         # preserves the oracle's max > min-column > min-row ordering
@@ -264,14 +290,18 @@ def _q8_kernel(
             new_bis, new_bjs = list(bis), list(bjs)
             h_in, e_in = h_left, e_left
             for k in range(ncols):
-                s = S_ref[k, pl.ds(i, 1)].astype(jnp.float32)
+                s = S_ref[k, pl.ds(i, 1)].astype(sdt)
                 e_new = jnp.maximum(h_in - gof, e_in - gef)
                 diag = hdiags[k] + s
                 tmp = jnp.maximum(diag, e_new)
                 if spec.clamp_zero:
-                    tmp = jnp.maximum(tmp, 0.0)
+                    tmp = jnp.maximum(tmp, ndt(0))
                 f = jnp.maximum(hups[k] - gof, fs[k] - gef)
                 h_new = jnp.maximum(tmp, f)
+                if narrow:
+                    # saturate into the bf16-exact integer window; a
+                    # lane that touches the cap is flagged by score
+                    h_new = jnp.minimum(h_new, capv)
                 new_hups.append(h_new)
                 new_fs.append(f)
                 h_in, e_in = h_new, e_new
@@ -346,11 +376,16 @@ def _q8_kernel(
         _, _, _, bests, bis, bjs, cap, ci = icarry
         # merge per-column accumulators in column order
         for k in range(ncols):
-            upd = bests[k] > best
-            best = jnp.where(upd, bests[k], best)
             if with_ends:
+                upd = bests[k] > best
+                best = jnp.where(upd, bests[k], best)
                 bi = jnp.where(upd, bis[k], bi)
                 bj = jnp.where(upd, bjs[k], bj)
+            else:
+                # score-only: order-free plain max (also the only form
+                # the narrow pass can take — v5e has no packed-bf16
+                # vector compare, only min/max/add)
+                best = jnp.maximum(best, bests[k])
         return best, bi, bj, cap, ci
 
     jcarry0 = (best_ref[:], bi_ref[:], bj_ref[:], cap_ref[:], ci_ref[:])
@@ -417,6 +452,7 @@ NCOLS = 2
         "chunk",
         "unroll",
         "ncols",
+        "narrow",
     ),
 )
 def search_flat_q8(
@@ -436,12 +472,18 @@ def search_flat_q8(
     chunk=CHUNK,
     unroll=UNROLL,
     ncols=NCOLS,
+    narrow=False,
 ):
     """One launch: all query groups x the whole flat-packed database.
 
     Requires ``safe_pad`` packing (alphabet <= 31 letters).  Returns
     ``(scores, q_ends, t_ends)`` of shape
     ``(n_groups, n_blocks, QB, LANES)`` int32.
+
+    ``narrow=True`` (sw only) runs the bf16 saturating first pass:
+    results with ``score >= NARROW_CAP`` must be rescored exactly by
+    the caller (`engine` does); every other result — score *and* ends
+    — is bit-exact.
     """
     n_g, rows8, _ = profs.shape
     Q_pad = rows8 // QB
@@ -466,6 +508,7 @@ def search_flat_q8(
         chunk=chunk,
         unroll=unroll,
         ncols=ncols,
+        narrow=narrow,
     )
     out_shape = [
         jax.ShapeDtypeStruct((n_g, n_blocks, QB, lanes), jnp.int32)
@@ -475,7 +518,8 @@ def search_flat_q8(
         (1, 1, QB, lanes),
         lambda g, i, bos, cos, los, maxq: (g, bos[i], 0, 0),
     )
-    f32 = jnp.float32
+    # DP-state scratch dtype: bf16 in narrow mode (half the VMEM)
+    sdt = jnp.bfloat16 if narrow else jnp.float32
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n_g, n_steps),
@@ -503,11 +547,11 @@ def search_flat_q8(
         ],
         out_specs=[out_spec, out_spec, out_spec],
         scratch_shapes=[
-            pltpu.VMEM((Q_pad, QB, lanes), f32),  # H
-            pltpu.VMEM((Q_pad, QB, lanes), f32),  # E
+            pltpu.VMEM((Q_pad, QB, lanes), sdt),  # H
+            pltpu.VMEM((Q_pad, QB, lanes), sdt),  # E
             pltpu.VMEM((ncols, Q_pad, QB, lanes), jnp.bfloat16),  # S
-            pltpu.VMEM((1, QB, lanes), f32),  # best
-            pltpu.VMEM((1, QB, lanes), f32),  # cap
+            pltpu.VMEM((1, QB, lanes), sdt),  # best
+            pltpu.VMEM((1, QB, lanes), sdt),  # cap
             pltpu.VMEM((1, QB, lanes), jnp.int32),  # bi
             pltpu.VMEM((1, QB, lanes), jnp.int32),  # bj
             pltpu.VMEM((1, QB, lanes), jnp.int32),  # ci
