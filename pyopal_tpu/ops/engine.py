@@ -683,28 +683,64 @@ def search_scores_batch(
 def _search_long_pallas(
     database, start, end, query_enc, matrix, go, ge, algorithm, with_ends
 ):
-    """Segmented ragged-kernel search for one long query."""
+    """Long-query search: fine-tier v2 launch, or the segmented kernel.
+
+    A query beyond the batched tiers first tries ONE v2 strip-kernel
+    launch at a `pallas_ragged.fine_qpad` tier (512-quantum padding —
+    2.4% pad rows at 5000 aa vs 64% at the power-of-two tier), which
+    measures ~2x the segmented kernel's throughput; only queries whose
+    fine-tier scratch would blow the VMEM budget (or 32-letter custom
+    matrices, which v2's safe_pad argument excludes) take the
+    segmented multi-launch path.
+    """
+    from . import pallas_kernel as pk
+    from . import pallas_ragged as pr
     from . import pallas_ragged_long as prl
     from ..utils import cache
 
     cache.enable()
     fp = packing.pack_database_slice_flat(database, start, end)
     flat_t, lengths, bos, cos, los, inv_pos = _flat_device(fp)
-    s, qe, te = prl.search_flat_long(
-        query_enc,
-        matrix,
-        flat_t,
-        lengths,
-        bos,
-        cos,
-        los,
-        int(go),
-        int(ge),
-        algorithm,
-        with_ends,
-        interpret=_INTERPRET,
-        chunk=fp.chunk,
-    )
+    safe_pad = matrix.shape[1] <= 31
+    Q = int(query_enc.shape[0])
+    if safe_pad and pr.supports_fine(Q, algorithm, with_ends):
+        q_pad = pr.fine_qpad(Q)
+        S = np.asarray(matrix, dtype=np.float32)
+        prof = np.full((1, q_pad, pk.ALPHA), pk.PAD_SCORE, np.float32)
+        prof[0, :Q, : S.shape[1]] = S[query_enc.astype(np.int64), :]
+        s, qe, te = pr.search_flat(
+            jnp.asarray(prof, jnp.bfloat16),
+            jnp.asarray(np.array([Q], np.int32)),
+            flat_t,
+            lengths,
+            bos,
+            cos,
+            los,
+            int(go),
+            int(ge),
+            algorithm,
+            with_ends,
+            interpret=_INTERPRET,
+            chunk=fp.chunk,
+            safe_pad=True,
+        )
+        s, qe, te = s[0], qe[0], te[0]
+    else:
+        s, qe, te = prl.search_flat_long(
+            query_enc,
+            matrix,
+            flat_t,
+            lengths,
+            bos,
+            cos,
+            los,
+            int(go),
+            int(ge),
+            algorithm,
+            with_ends,
+            interpret=_INTERPRET,
+            chunk=fp.chunk,
+        )
     flatpos = np.asarray(fp.inv_pos)
     # one readback for all three planes (a separate np.asarray each
     # would pay the link's ~28 ms base RTT three times)

@@ -110,6 +110,48 @@ def profile_qpad(Q: int) -> int:
     return tier
 
 
+#: fine-tier quantum for long single queries (`fine_qpad`); must be a
+#: multiple of `STRIP`
+FINE_QUANTUM = 512
+
+#: scoped-VMEM budget for a fine-tier v2 launch: the 16 MB limit minus
+#: headroom for the profile block, target chunk, boundary scratch and
+#: compiler temporaries (v2's live column-loop temporaries are
+#: (strip, LANES), so the statically declared scratch dominates)
+V2_FINE_BUDGET = 13_500_000
+
+
+def fine_qpad(Q: int) -> int:
+    """Pad a LONG query to the `FINE_QUANTUM` grid instead of a power
+    of two: at 5000 aa the power-of-two tier (8192) wastes 64% of the
+    sweep on pad rows, the fine tier (5120) 2.4%.  Used only by the
+    single-long-query path (`engine._search_long_pallas`), where each
+    query compiles its own shape anyway."""
+    return max(-(-Q // FINE_QUANTUM) * FINE_QUANTUM, FINE_QUANTUM)
+
+
+def v2_scratch_bytes(Q_pad: int, algorithm: str, with_ends: bool) -> int:
+    """Bytes of (Q_pad, LANES) VMEM scratch a v2 launch declares."""
+    n = 2  # H, E
+    if algorithm != "nw":
+        n += 1  # best
+        if with_ends:
+            n += 1  # bestj
+    if algorithm in ("nw", "ov"):
+        n += 1  # cap
+    return n * Q_pad * LANES * 4
+
+
+def supports_fine(Q: int, algorithm: str, with_ends: bool) -> bool:
+    """Whether a single long query fits a fine-tier v2 launch
+    (safe_pad packing assumed; beyond this the segmented kernel
+    takes over)."""
+    if Q <= 0:
+        return False
+    q_pad = fine_qpad(Q)
+    return v2_scratch_bytes(q_pad, algorithm, with_ends) <= V2_FINE_BUDGET
+
+
 def make_profiles_host(queries_enc, matrix) -> np.ndarray:
     """Stacked ``(n_q, Q_pad, 32)`` fp32 profiles at a common tier."""
     qmax = max(len(q) for q in queries_enc)

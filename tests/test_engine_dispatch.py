@@ -230,3 +230,64 @@ def test_negative_gap_parameters_route_to_xla(db, monkeypatch):
     )
     for name, a, b in zip(("scores", "q_ends", "t_ends"), got, ref):
         np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+class TestFineTierLongQueries:
+    """Long queries route to ONE fine-tier v2 launch when the scratch
+    fits the VMEM budget, else to the segmented kernel (measured
+    +19-21% at 5000 aa, experiments/bench_long_fine.py)."""
+
+    def test_fine_qpad_quantum(self):
+        from pyopal_tpu.ops import pallas_ragged as pr
+
+        assert pr.fine_qpad(5000) == 5120
+        assert pr.fine_qpad(4097) == 4608
+        assert pr.fine_qpad(1) == pr.FINE_QUANTUM
+        assert pr.fine_qpad(5120) == 5120
+        # fine tiers always divide by the strip height
+        for q in (4100, 5000, 7300, 9000):
+            assert pr.fine_qpad(q) % pr.STRIP == 0
+
+    def test_supports_fine_budget(self):
+        from pyopal_tpu.ops import pallas_ragged as pr
+
+        assert pr.supports_fine(5000, "sw", False)
+        assert pr.supports_fine(5000, "sw", True)
+        assert pr.supports_fine(5000, "ov", True)
+        # far beyond the VMEM budget: segmented kernel territory
+        assert not pr.supports_fine(35000, "sw", False)
+        assert not pr.supports_fine(0, "sw", False)
+        # budget respects the per-algorithm scratch count
+        assert pr.v2_scratch_bytes(5120, "ov", True) > pr.v2_scratch_bytes(
+            5120, "sw", False
+        )
+
+    def test_fine_tier_path_matches_oracle(self):
+        """A > 4096-aa query through the public API (interpret hook)
+        equals the scalar oracle — pins the fine-tier launch end to
+        end, including profile construction at a non-power-of-two
+        tier."""
+        import pyopal_tpu as po
+        from pyopal_tpu.ops import engine, naive
+
+        rng = np.random.default_rng(9)
+        AL = "ARNDCQEGHILKMFPSTWYV"
+        db = po.Database(
+            "".join(AL[c] for c in rng.integers(0, 20, int(L)))
+            for L in (0, 25, 64, 90)
+        )
+        q = "".join(AL[c] for c in rng.integers(0, 20, 4200))
+        al = po.Aligner()
+        S = al.scoring_matrix.int_data()
+        qe = np.frombuffer(db.alphabet.encode(q), np.uint8)
+        engine._INTERPRET = True
+        try:
+            hits = al.align(q, db, mode="end", algorithm="sw")
+        finally:
+            engine._INTERPRET = False
+        for i in range(len(db)):
+            te = np.frombuffer(db.alphabet.encode(db[i]), np.uint8)
+            ws, wqe, wte = naive.score_end(qe, te, S, 3, 1, "sw")
+            assert (hits[i].score, hits[i].query_end, hits[i].target_end) == (
+                ws, wqe, wte,
+            ), i
