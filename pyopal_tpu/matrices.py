@@ -369,11 +369,14 @@ class ScoringMatrix:
             return cls(_parse(_TABLES[key]), _PROTEIN_ALPHABET, name=key)
         if key.startswith("PAM") and key[3:].isdigit():
             return cls.pam(int(key[3:]))
+        if key.startswith("VTML") and key[4:].isdigit():
+            return cls.vtml(int(key[4:]))
         raise ValueError(
             f"unknown matrix name: {name!r} "
             f"(available: {', '.join(sorted(_TABLES))}, any PAM10..."
-            f"PAM500; load others with ScoringMatrix.from_file and add "
-            f"them to the catalog with ScoringMatrix.register)"
+            f"PAM500, any VTML10...VTML500; load others with "
+            f"ScoringMatrix.from_file and add them to the catalog with "
+            f"ScoringMatrix.register)"
         )
 
     @classmethod
@@ -442,6 +445,47 @@ class ScoringMatrix:
 
         lam = math.log(2.0) / scale_denominator
         return cls(pam_scores(n, lam), _PROTEIN_ALPHABET, name=key)
+
+    @classmethod
+    def vtml(cls, n: int) -> "ScoringMatrix":
+        """Generate the VTML-``n`` substitution matrix from the fitted
+        VT evolutionary chain.
+
+        The VTML family (Mueller & Vingron 2000) is one continuous-time
+        chain evaluated at different distances; this tree carries one
+        published anchor, VTML80 (the table the reference's own test
+        suite uses), and a reversible generator recovered from it by
+        constrained fitting (`pyopal_tpu._vtml_chain`): the chain's
+        exact distance-80 log-odds land in every VTML80 integer's
+        rounding interval, so ``vtml(80)`` IS the bundled table.
+
+        Matrices at other distances are this chain's extrapolations —
+        the same construction the published family uses, from a chain
+        consistent with the anchor — but with only one anchor
+        available offline they are **not certified bit-equal** to
+        Mueller-Vingron's own tables at those distances (entries near
+        rounding boundaries may differ by ±1).  For certified tables,
+        load the published file with `from_file` and `register` it.
+
+        Args:
+            n (`int`): VTML evolutionary distance, 1 to 500.
+
+        Example:
+            >>> ScoringMatrix.vtml(80) == ScoringMatrix.from_name("VTML80")
+            True
+
+        """
+        if not 1 <= n <= 500:
+            raise ValueError(f"VTML distance out of range [1, 500]: {n}")
+        key = f"VTML{n}"
+        # the anchor is served from the transcribed published table
+        # (identical 20x20 block; its B/Z/X rows follow no derivable
+        # rule, so the transcription is authoritative)
+        if key in _TABLES:
+            return cls(_parse(_TABLES[key]), _PROTEIN_ALPHABET, name=key)
+        from ._vtml_chain import vtml_scores
+
+        return cls(vtml_scores(n), _PROTEIN_ALPHABET, name=key)
 
     @classmethod
     def from_text(cls, text: str, name=None) -> "ScoringMatrix":

@@ -170,6 +170,9 @@ N -2  0  6
 
     def test_from_name_error_mentions_from_file(self):
         with pytest.raises(ValueError, match="from_file"):
+            ScoringMatrix.from_name("PFASUM60")
+        # generator-family names out of range get the range error
+        with pytest.raises(ValueError, match="out of range"):
             ScoringMatrix.from_name("VTML999")
 
 
@@ -310,3 +313,74 @@ def test_pam_nondefault_scale_name():
     assert m.name == "PAM250/2"
     assert ScoringMatrix.pam(250).name == "PAM250"
     assert not np.array_equal(m.data, ScoringMatrix.pam(250).data)
+
+
+class TestVtmlGenerator:
+    """The fitted VT chain (`pyopal_tpu._vtml_chain`) behind
+    `ScoringMatrix.vtml` / ``from_name("VTML<n>")``."""
+
+    def test_regenerates_anchor_bit_exactly(self):
+        # the chain's distance-80 20x20 block IS the bundled VTML80
+        from pyopal_tpu._vtml_chain import vtml_scores
+
+        published = ScoringMatrix.from_name("VTML80").data.astype(int)
+        got = vtml_scores(80).astype(int)
+        assert (got[:20, :20] == published[:20, :20]).all()
+
+    def test_vtml80_served_from_transcription(self):
+        # from_name / vtml(80) return the published table verbatim,
+        # including its (non-derivable) B/Z/X rows and -9 star row
+        m = ScoringMatrix.vtml(80)
+        assert m == ScoringMatrix.from_name("VTML80")
+        assert m.data[23][0] == -9
+
+    def test_from_name_generates_any_vtml(self):
+        for n in (10, 20, 40, 120, 160, 200, 350):
+            m = ScoringMatrix.from_name(f"VTML{n}")
+            assert m.name == f"VTML{n}"
+            assert m.is_integer()
+            d = np.asarray(m.data)
+            assert d.shape == (24, 24)
+            assert (d[:23, :23] == d[:23, :23].T).all()
+            # star convention anchored on VTML80 (min - 2)
+            assert d[23][0] == d[:20, :20].min() - 2
+        with pytest.raises(ValueError):
+            ScoringMatrix.vtml(0)
+        with pytest.raises(ValueError):
+            ScoringMatrix.vtml(501)
+
+    def test_vtml_self_scores_decay_with_distance(self):
+        diag = [
+            np.diag(np.asarray(ScoringMatrix.vtml(n).data)[:20, :20])
+            for n in (10, 40, 80, 160, 320)
+        ]
+        for a, b in zip(diag, diag[1:]):
+            assert (a >= b).all()
+            assert a.sum() > b.sum()
+
+    def test_vtml_expected_score_negative(self):
+        # any valid log-odds matrix has negative expected score under
+        # its stationary frequencies
+        from pyopal_tpu._vtml_chain import VTML_FREQS, vtml_exact_scores
+
+        for n in (20, 80, 200):
+            t = vtml_exact_scores(n)
+            assert float(VTML_FREQS @ t @ VTML_FREQS) < 0
+
+    def test_vtml_frequencies_plausible(self):
+        # the fit recovered a realistic amino-acid frequency vector
+        from pyopal_tpu._vtml_chain import VTML_FREQS
+
+        assert abs(VTML_FREQS.sum() - 1.0) < 1e-9
+        assert (VTML_FREQS > 0.005).all() and (VTML_FREQS < 0.15).all()
+        aa = "ARNDCQEGHILKMFPSTWYV"
+        # tryptophan and cysteine are the rarest residues in nature
+        assert VTML_FREQS[aa.index("W")] < 0.03
+        assert VTML_FREQS[aa.index("C")] < 0.04
+
+    def test_vtml_aligner_end_to_end(self):
+        import pyopal_tpu as po
+
+        db = po.Database(["MKTAYIAKQR"], alphabet=ScoringMatrix.vtml(120).alphabet)
+        hits = po.Aligner("VTML120").align("MKTAYIAKQR", db, algorithm="nw")
+        assert hits[0].score > 0
