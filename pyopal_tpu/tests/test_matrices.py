@@ -35,6 +35,16 @@ class TestCatalog(unittest.TestCase):
             ScoringMatrix.pam(250), ScoringMatrix.from_name("PAM250")
         )
 
+    def test_vtml_family_regenerates_anchor(self):
+        self.assertEqual(
+            ScoringMatrix.vtml(80), ScoringMatrix.from_name("VTML80")
+        )
+        # generated distances are integer, symmetric, right-sized
+        m = ScoringMatrix.from_name("VTML160")
+        self.assertTrue(m.is_integer())
+        self.assertTrue(m.is_symmetric())
+        self.assertEqual(m.size(), len(m.alphabet))
+
     def test_unknown_name(self):
         with self.assertRaises(ValueError):
             ScoringMatrix.from_name("NOPE99")
