@@ -634,7 +634,12 @@ def align_top_k_sharded(
                             (scores, qes, tes),
                         )
                     pending = still
-                    m = min(m * 2, max(shard_counts))
+                    # escalation is tie-driven and rare: go straight
+                    # to the complete-by-construction gather (every
+                    # shard's full candidate list) instead of doubling
+                    # — at most TWO candidate gathers per cohort, and
+                    # the second merge cannot be incomplete
+                    m = max(shard_counts)
 
         for i in fb_idx:
             out[i] = engine.search_top_k(

@@ -64,3 +64,41 @@ def test_engine_matches_oracle_random_config(seed):
                 nqe,
                 nte,
             ), (seed, i)
+
+
+@pytest.mark.parametrize("seed", range(100, 108))
+def test_batched_full_mode_matches_oracle_random_config(seed):
+    """Seeded fuzz for the batched full-mode front-ends: align_batch
+    full == per-pair oracle traceback scores/coords, and the columnar
+    align_arrays full agrees with the objects."""
+    matrix, go, ge, algo, _, targets, query = _case(seed)
+    rng = random.Random(seed ^ 0xF00)
+    queries = [query] + [
+        "".join(
+            rng.choices(matrix.alphabet[: max(len(matrix.alphabet) - 1, 1)],
+                        k=rng.choice([1, 7, 40])),
+        )
+        for _ in range(2)
+    ]
+    db = po.Database(targets, alphabet=matrix.alphabet)
+    aligner = po.Aligner(matrix, gap_open=go, gap_extend=ge)
+    batch = aligner.align_batch(queries, db, mode="full", algorithm=algo)
+    arrays = aligner.align_arrays(queries, db, mode="full", algorithm=algo)
+
+    S = matrix.int_data()
+    enc = lambda s: np.frombuffer(db.alphabet.encode(s), dtype=np.uint8)
+    for qi, qq in enumerate(queries):
+        q = enc(qq)
+        for ti, t in enumerate(targets):
+            ws, wqs, wts, wqe, wte, wops = naive.traceback(
+                q, enc(t), S, go, ge, algo
+            )
+            hit = batch[qi][ti]
+            assert hit.score == ws, (seed, qi, ti)
+            assert (hit._query_start, hit._target_start) == (wqs, wts)
+            assert (hit.query_end, hit.target_end) == (wqe, wte)
+            assert np.array_equal(hit._ops, wops), (seed, qi, ti)
+            assert arrays["scores"][qi, ti] == ws
+            assert arrays["query_starts"][qi, ti] == wqs
+            assert arrays["target_starts"][qi, ti] == wts
+            assert arrays["cigars"][qi, ti] == hit.cigar()
