@@ -592,10 +592,11 @@ class _AsyncStream:
         return fut
 
     def flush(self) -> None:
-        with self._cond:
-            batch, self.pending = self.pending, []
-        if batch:
-            try:
+        batch: list = []
+        try:
+            with self._cond:
+                batch, self.pending = self.pending, []
+            if batch:
                 results = self.aligner.align_batch(
                     [q for _, q in batch],
                     self.database,
@@ -605,26 +606,38 @@ class _AsyncStream:
                     start=self.start,
                     end=self.end,
                 )
-            except BaseException as exc:
                 with self._cond:
-                    for fut, _ in batch:
+                    for (fut, _), res in zip(batch, results):
+                        fut._result = res
+                        fut._done = True
+                    self._cond.notify_all()
+        finally:
+            # any popped future still unresolved here was orphaned by
+            # an exception (or an async interrupt landing between the
+            # pop and resolution): record the failure so waiters never
+            # hang, then propagate
+            undone = [fut for fut, _ in batch if not fut._done]
+            if undone:
+                import sys
+
+                exc = sys.exc_info()[1] or RuntimeError(
+                    "flush aborted before resolving futures"
+                )
+                with self._cond:
+                    for fut in undone:
                         fut._exception = exc
                         fut._done = True
                     self._cond.notify_all()
-                raise
-            with self._cond:
-                for (fut, _), res in zip(batch, results):
-                    fut._result = res
-                    fut._done = True
-                self._cond.notify_all()
-        # drop the drained stream from the registry (under the dict
-        # lock; a submit racing this simply creates a fresh stream)
-        dict_lock = self.aligner.__dict__.get("_async_dict_lock")
-        if dict_lock is not None:
-            with dict_lock, self._cond:
-                streams = self.aligner.__dict__.get("_async_streams", {})
-                if streams.get(self.key) is self and not self.pending:
-                    del streams[self.key]
+            # drop the drained stream from the registry (under the
+            # dict lock; a submit racing this creates a fresh stream)
+            dict_lock = self.aligner.__dict__.get("_async_dict_lock")
+            if dict_lock is not None:
+                with dict_lock, self._cond:
+                    streams = self.aligner.__dict__.get(
+                        "_async_streams", {}
+                    )
+                    if streams.get(self.key) is self and not self.pending:
+                        del streams[self.key]
 
     def _wait(self, fut: "AlignFuture") -> None:
         """Block until ``fut`` (popped by an in-flight flush) resolves."""

@@ -187,10 +187,19 @@ def _q8_kernel(
     # lanes are bit-exact.  sw only (H >= 0 under the local clamp).
     # narrow is score-only: the ends-tracking per-cell compares have
     # no packed-bf16 lowering on this target ("Target does not support
-    # this comparison"), and score-only needs none
-    assert not narrow or (algorithm == "sw" and not with_ends
-                          and 0 <= go <= NARROW_CAP
-                          and 0 <= ge <= NARROW_CAP)
+    # this comparison"), and score-only needs none.  A hard error, not
+    # an assert: silently-wrong narrow results under `python -O` are
+    # exactly the failure mode the exact-or-flagged contract forbids.
+    if narrow and not (
+        algorithm == "sw"
+        and not with_ends
+        and 0 <= go <= NARROW_CAP
+        and 0 <= ge <= NARROW_CAP
+    ):
+        raise ValueError(
+            "narrow=True supports only sw score-only with gap "
+            f"parameters in [0, {NARROW_CAP}]"
+        )
     sdt = jnp.bfloat16 if narrow else jnp.float32
     ndt = ml_dtypes.bfloat16 if narrow else np.float32
     gof = ndt(go)

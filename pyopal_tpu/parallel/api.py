@@ -102,6 +102,10 @@ def _xla_mesh_scores(
     from ..ops import packing, xla
     from . import sharded
 
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from .mesh import DB_AXIS
+
     packed = packing.pack_database_slice(database, start, end)
     n = packed.n_targets
     nq = len(queries_enc)
@@ -113,8 +117,18 @@ def _xla_mesh_scores(
         targets, lengths = sharded.pad_blocks(
             group.targets.astype(np.int32), group.lengths, n_shards
         )
+        # place the group's (large) arrays once for all queries; the
+        # device_put inside sharded_search_group then no-ops on the
+        # already-correctly-sharded buffers
+        targets = jax.device_put(
+            jnp.asarray(targets), NamedSharding(mesh, P(DB_AXIS, None, None))
+        )
+        lengths = jax.device_put(
+            jnp.asarray(lengths), NamedSharding(mesh, P(DB_AXIS, None))
+        )
         idx = group.indices.reshape(-1)
         valid = idx >= 0
+        outs = []
         for qi in range(nq):
             s, qe, te = sharded.sharded_search_group(
                 mesh,
@@ -127,12 +141,15 @@ def _xla_mesh_scores(
                 with_ends=with_ends,
                 use_pallas=False,
             )
-            # one stacked (cross-process-safe) host gather per launch
-            block = sfm._gather_host(jnp.stack([s, qe, te], axis=0))
-            block = block.reshape(3, -1)[:, : idx.shape[0]]
-            scores[qi, idx[valid]] = block[0, valid]
-            q_ends[qi, idx[valid]] = block[1, valid]
-            t_ends[qi, idx[valid]] = block[2, valid]
+            outs.append(jnp.stack([s, qe, te], axis=0))
+        # ONE stacked (cross-process-safe) host gather per group —
+        # per-query gathers would pay the host-link RTT nq times
+        block = sfm._gather_host(jnp.stack(outs, axis=0))
+        block = block.reshape(nq, 3, -1)[:, :, : idx.shape[0]]
+        for qi in range(nq):
+            scores[qi, idx[valid]] = block[qi, 0, valid]
+            q_ends[qi, idx[valid]] = block[qi, 1, valid]
+            t_ends[qi, idx[valid]] = block[qi, 2, valid]
     return scores, q_ends, t_ends
 
 
