@@ -539,8 +539,14 @@ class Aligner:
             raise ValueError(
                 "database and score matrix have different alphabets"
             )
-        # encode eagerly: bad symbols raise here, not at flush
+        # validate eagerly: bad symbols and malformed slices raise
+        # here, not at flush (the size-dependent clamp still happens
+        # at flush, against the database state then)
         database.alphabet.encode(query)
+        if start < 0:
+            raise IndexError("database slice start cannot be negative")
+        if end < start:
+            raise IndexError("database slice end is lower than start")
         key = (id(database), mode, overflow, algorithm, start, end)
         with self.__dict__.setdefault(
             "_async_dict_lock", threading.Lock()

@@ -38,11 +38,12 @@ __all__ = ["align_arrays_sharded", "align_top_k_sharded"]
 
 
 def _pack_sharded_cached(
-    database, seqs, n_shards, lanes, local_shards, start, end
+    database, n_shards, lanes, local_shards, start, end
 ):
     """`pack_flat_sharded` memoized on the database mutation version
     (same contract as `pyopal_tpu.ops.packing.pack_database_slice_flat`),
-    so repeat calls skip repacking and re-uploading the database.
+    so repeat calls skip repacking and re-uploading the database — and
+    skip even materializing the encoded-sequence list on a cache hit.
 
     ``local_shards`` (from `sharded_flat.local_shards_of_mesh`) keeps
     packed payload memory process-local under multi-host meshes."""
@@ -58,6 +59,7 @@ def _pack_sharded_cached(
     )
     if cache is not None and key in cache:
         return cache[key]
+    seqs = [database.get_encoded(i) for i in range(start, end)]
     packed = sfm.pack_flat_sharded(
         seqs, n_shards, lanes=lanes, local_shards=local_shards
     )
@@ -65,6 +67,15 @@ def _pack_sharded_cached(
 
     _cache_put(cache, key, packed)
     return packed
+
+
+def _mesh_platform(mesh) -> str:
+    """The platform of the devices the mesh actually spans (a CPU mesh
+    on a TPU-default host must take the XLA route, and vice versa)."""
+    try:
+        return mesh.devices.flat[0].platform
+    except Exception:  # pragma: no cover - exotic mesh objects
+        return jax.default_backend()
 
 
 UINT32_MAX = 0xFFFFFFFF
@@ -222,11 +233,12 @@ def align_arrays_sharded(
     n_shards = int(np.prod(list(mesh.shape.values())))
     matrix = aligner.scoring_matrix.int_data()
     safe_pad = matrix.shape[1] <= 31
-    # non-TPU backends run the int32 XLA engine per shard instead of
+    # non-TPU meshes run the int32 XLA engine per shard instead of
     # interpret-mode Pallas (engine._INTERPRET keeps the Pallas mesh
-    # path testable without TPU hardware)
-    pallas_mesh = jax.default_backend() == "tpu" or engine._INTERPRET
-    interpret = pallas_mesh and jax.default_backend() != "tpu"
+    # path testable without TPU hardware); the decision follows the
+    # MESH's devices, not the process-default backend
+    pallas_mesh = _mesh_platform(mesh) == "tpu" or engine._INTERPRET
+    interpret = pallas_mesh and _mesh_platform(mesh) != "tpu"
     with_ends = mode != "score"
 
     queries_enc = [
@@ -289,17 +301,12 @@ def align_arrays_sharded(
         t_ends = np.full((nq, n), -1, dtype=np.int32)
 
         mesh_queries = [queries_enc[i] for i in mesh_idx]
-        seqs = (
-            [database.get_encoded(i) for i in range(start, end)]
-            if mesh_idx and pallas_mesh
-            else []
-        )
 
         local_shards = sfm.local_shards_of_mesh(mesh)
 
         def _pack(lanes):
             return _pack_sharded_cached(
-                database, seqs, n_shards, lanes, local_shards, start, end
+                database, n_shards, lanes, local_shards, start, end
             )
 
         def _store(qidx_rows, s, qe, te):
@@ -328,15 +335,20 @@ def align_arrays_sharded(
         for tier, lanes_q8, groups, v2_idx in engine.plan_tier_launches(
             mesh_queries if pallas_mesh else [], safe_pad
         ):
-            if groups:
-                profs, qv, maxq = q8.make_profiles_q8_host(
-                    mesh_queries, matrix, groups, lanes=lanes_q8
+            # split into the same launch quanta as the single-device
+            # dispatcher, so the set of compiled n_groups shapes stays
+            # {quantum, remainders} across varying batch sizes, and
+            # reuse its memoized device-resident profile stacks
+            for k0 in range(0, len(groups), engine._Q8_LAUNCH_GROUPS):
+                gs = groups[k0 : k0 + engine._Q8_LAUNCH_GROUPS]
+                profs, qv, maxq = engine._profiles_q8(
+                    mesh_queries, matrix, gs, lanes_q8
                 )
                 s, qe, te = sfm.sharded_search_flat_q8(
                     mesh,
-                    jnp.asarray(profs, jnp.bfloat16),
-                    jnp.asarray(qv),
-                    jnp.asarray(maxq),
+                    profs,
+                    qv,
+                    maxq,
                     _pack(lanes_q8),
                     gap_open,
                     gap_extend,
@@ -347,7 +359,7 @@ def align_arrays_sharded(
                 _store(
                     [
                         (g * q8.QB + qb, mesh_idx[qi])
-                        for g, idxs in enumerate(groups)
+                        for g, idxs in enumerate(gs)
                         for qb, qi in enumerate(idxs)
                     ],
                     s,
@@ -357,12 +369,7 @@ def align_arrays_sharded(
 
             if v2_idx:
                 cohort = [mesh_queries[i] for i in v2_idx]
-                profs = jnp.asarray(
-                    pr.make_profiles_host(cohort, matrix), jnp.bfloat16
-                )
-                qlens = jnp.asarray(
-                    np.array([len(q) for q in cohort], np.int32)
-                )
+                profs, qlens = engine._profiles_for_cohort(cohort, matrix)
                 s, qe, te = sfm.sharded_search_flat(
                     mesh,
                     profs,
@@ -514,10 +521,10 @@ def align_top_k_sharded(
     n_shards = int(np.prod(list(mesh.shape.values())))
     matrix = aligner.scoring_matrix.int_data()
     safe_pad = matrix.shape[1] <= 31
-    # non-TPU backends: int32 XLA engine per shard (see
+    # non-TPU meshes: int32 XLA engine per shard (see
     # `align_arrays_sharded` / `_xla_mesh_scores`)
-    pallas_mesh = jax.default_backend() == "tpu" or engine._INTERPRET
-    interpret = pallas_mesh and jax.default_backend() != "tpu"
+    pallas_mesh = _mesh_platform(mesh) == "tpu" or engine._INTERPRET
+    interpret = pallas_mesh and _mesh_platform(mesh) != "tpu"
 
     queries_enc = [
         np.frombuffer(database.alphabet.encode(q), dtype=np.uint8)
@@ -586,10 +593,8 @@ def align_top_k_sharded(
 
         if mesh_idx and pallas_mesh:
             local_shards = sfm.local_shards_of_mesh(mesh)
-            seqs = [database.get_encoded(i) for i in range(start, end)]
             sf = _pack_sharded_cached(
-                database, seqs, n_shards, sfm.LANES, local_shards,
-                start, end,
+                database, n_shards, sfm.LANES, local_shards, start, end
             )
             shard_counts = np.bincount(
                 sf.inv_shard, minlength=n_shards
@@ -605,12 +610,7 @@ def align_top_k_sharded(
             for tier in sorted(cohorts):
                 qidx = cohorts[tier]
                 cohort = [queries_enc[i] for i in qidx]
-                profs = jnp.asarray(
-                    pr.make_profiles_host(cohort, matrix), jnp.bfloat16
-                )
-                qlens = jnp.asarray(
-                    np.array([len(q) for q in cohort], np.int32)
-                )
+                profs, qlens = engine._profiles_for_cohort(cohort, matrix)
                 s_dev, qe_dev, te_dev = sfm.sharded_search_flat_device(
                     mesh,
                     profs,

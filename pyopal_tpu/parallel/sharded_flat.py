@@ -156,10 +156,11 @@ def pack_flat_sharded(
         bos[s, :k] = layout.block_of_step
         cos[s, :k] = layout.chunk_of_step
         los[s, :k] = layout.last_of_step
-        # padding steps: point at the last block, flagged "last" with
-        # chunk 0 so they only re-run an idle init/finalize on zero
-        # lengths (indices of that block are unaffected: finalize
-        # rewrites the same values)
+        # padding steps: point at the last block with chunk 0 and
+        # last 0 — NOT flagged last, so they re-run only the c==0
+        # init over that block's (already-finalized) state and never
+        # the finalize, which would overwrite the block's real scores
+        # with a sweep over the zero-filled padding rows
         if k < steps_max:
             bos[s, k:] = layout.block_of_step[-1] if k else 0
             cos[s, k:] = 0

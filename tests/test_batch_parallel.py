@@ -528,3 +528,16 @@ def test_align_async_thread_race_and_eviction():
     assert not errs, errs
     assert not aligner.__dict__.get("_async_streams")
     assert isinstance(futs[0], pyopal_tpu.AlignFuture)
+
+
+def test_align_async_validates_slice_at_submit():
+    db = Database(["MKT", "AAA"])
+    al = Aligner()
+    import pytest as _pytest
+
+    with _pytest.raises(IndexError):
+        al.align_async("M", db, start=-1)
+    with _pytest.raises(IndexError):
+        al.align_async("M", db, start=3, end=1)
+    # a beyond-size end is legal (clamped at flush)
+    assert al.align_async("M", db, end=10**9).result() is not None

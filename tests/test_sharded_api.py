@@ -425,3 +425,12 @@ class TestAlignTopKSharded:
             align_top_k_sharded(["AA"], db, algorithm="zz")
         assert align_top_k_sharded([], db, k=3) == []
         assert align_top_k_sharded(["AA"], po.Database(), k=3) == [[]]
+
+
+def test_route_follows_mesh_devices_not_default_backend():
+    # the engine-route decision must read the MESH's platform: a CPU
+    # mesh on any host takes the XLA route
+    from pyopal_tpu.parallel import api as papi
+    from pyopal_tpu.parallel.mesh import device_mesh
+
+    assert papi._mesh_platform(device_mesh()) == "cpu"
