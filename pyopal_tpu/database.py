@@ -258,12 +258,15 @@ class Database(BaseDatabase):
 
     def __getitem__(self, index):
         if isinstance(index, slice):
-            # size read and extraction under ONE read-lock span (the
-            # lock is reader-reentrant), so a concurrent deletion
-            # between them cannot invalidate the computed range
+            # size read and extraction under ONE read-lock span, so a
+            # concurrent deletion between them cannot invalidate the
+            # computed range.  The extraction body runs inline (NOT
+            # via extract()): the shared lock is writer-preferring and
+            # non-reentrant, so a nested lock.read here would deadlock
+            # against any queued writer.
             with self.lock.read:
                 indices = range(*index.indices(len(self._sequences)))
-                return self.extract(indices)
+                return self._extract_locked(indices)
         return super().__getitem__(index)
 
     def __setitem__(self, index, sequence) -> None:
@@ -309,8 +312,16 @@ class Database(BaseDatabase):
             ['ATGC', 'TTCA', 'AAAA', 'GGTG']
 
         """
-        for sequence in sequences:
-            self.append(sequence)
+        # encode outside the lock (the expensive part), then insert
+        # the whole batch under ONE write-lock span with ONE version
+        # bump: bulk loads don't pay per-sequence lock round trips,
+        # and concurrent readers never observe a half-extended batch
+        encoded = [self._encode(s) for s in sequences]
+        if not encoded:
+            return
+        with self.lock.write:
+            self._sequences.extend(encoded)
+            self._bump()
 
     def append(self, sequence) -> None:
         """Add one sequence at the end of the database.
@@ -426,15 +437,19 @@ class Database(BaseDatabase):
             ['KKKK', 'AAAA']
 
         """
+        with self.lock.read:
+            return self._extract_locked(indices)
+
+    def _extract_locked(self, indices) -> "Database":
+        """`extract` body; caller must hold the read lock."""
         subdb = Database.__new__(Database)
         BaseDatabase.__init__(subdb, alphabet=self.alphabet)
         subdb._sequences = []
         subdb._version = 0
         subdb._pack_cache = {}
-        with self.lock.read:
-            size = self.get_size()
-            for index in indices:
-                if index < 0 or index >= size:
-                    raise IndexError(index)
-                subdb._sequences.append(self._sequences[index])
+        size = self.get_size()
+        for index in indices:
+            if index < 0 or index >= size:
+                raise IndexError(index)
+            subdb._sequences.append(self._sequences[index])
         return subdb

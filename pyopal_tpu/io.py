@@ -72,7 +72,7 @@ def _encode_fasta_seq(raw: bytes, alphabet: Alphabet) -> np.ndarray:
     when the alphabet maps it — unlike the strict `Alphabet.encode`,
     which follows the reference's isalpha contract."""
     seq = np.frombuffer(raw, dtype=np.uint8)
-    seq = seq[~np.isin(seq, (9, 13, 32))]  # tab, CR, space
+    seq = seq[~np.isin(seq, (9, 10, 13, 32))]  # tab, LF, CR, space
     codes = np.asarray(alphabet._ahash)[seq]
     bad_mask = ~_IS_ALPHA[seq] & (seq != ord("*"))
     bad_mask |= codes < 0
@@ -88,21 +88,36 @@ def _encode_fasta_seq(raw: bytes, alphabet: Alphabet) -> np.ndarray:
 
 
 def _parse_fasta_py(data: bytes, alphabet: Alphabet):
+    """Pure-Python fallback mirroring the native scanner byte for
+    byte: any ``>`` starts a record (even mid-line), the id is the
+    header's first space/tab-delimited word WITHOUT stripping (so
+    ``"> id"`` yields an empty id, like the C scanner), and the
+    sequence region runs to the next ``>`` with tab/LF/CR/space
+    skipped.  Results must not depend on whether the extension built.
+    """
     names, seqs = [], []
-    name = None
-    chunks: list = []
-    for line in data.splitlines():
-        if line.startswith(b">"):
-            if name is not None:
-                seqs.append(_encode_fasta_seq(b"".join(chunks), alphabet))
-            header = line[1:].strip()
-            name = header.split(b" ")[0].split(b"\t")[0]
-            names.append(name.decode("ascii", "replace"))
-            chunks = []
-        elif name is not None:
-            chunks.append(line)
-    if name is not None:
-        seqs.append(_encode_fasta_seq(b"".join(chunks), alphabet))
+    n = len(data)
+    pos = 0
+    while True:
+        start = data.find(b">", pos)
+        if start < 0:
+            break
+        p = start + 1
+        # header: up to the first newline byte
+        nl = data.find(b"\n", p)
+        cr = data.find(b"\r", p)
+        ends = [e for e in (nl, cr) if e != -1]
+        hdr_end = min(ends) if ends else n
+        header = data[p:hdr_end]
+        sp = header.find(b" ")
+        tb = header.find(b"\t")
+        cut = min([c for c in (sp, tb) if c != -1], default=len(header))
+        names.append(header[:cut].decode("ascii", "replace"))
+        # sequence: every byte until the next '>'
+        nxt = data.find(b">", hdr_end)
+        seq_end = nxt if nxt >= 0 else n
+        seqs.append(_encode_fasta_seq(data[hdr_end:seq_end], alphabet))
+        pos = seq_end
     return names, seqs
 
 

@@ -564,7 +564,14 @@ def _fp32_exact_domain(
     m_max = int(np.abs(matrix).max(initial=0))
     span = q_max + t_max
     bound = span * m_max + gap_open + span * gap_extend
-    return bound < _FP32_EXACT_BOUND
+    # the kernels also hold E/F (>= -(bound + go)) and the F-scan's
+    # offset intermediates tmp + row * min(go, ge) (rows up to the
+    # padded query tier, <= 2*q_max for power-of-two tiers and
+    # q_max + 512 for fine tiers) — all of those must stay inside the
+    # fp32 exact-integer window too, not just H
+    q_pad_bound = max(2 * q_max, q_max + 512, 64)
+    worst = bound + gap_open + q_pad_bound * min(gap_open, gap_extend)
+    return worst < _FP32_EXACT_BOUND
 
 
 def search_scores_batch(

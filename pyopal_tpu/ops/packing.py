@@ -324,8 +324,12 @@ def pack_database_slice_flat(
     """
     cache = getattr(database, "_pack_cache", None)
     key = ("flat", lanes, database.get_version(), start, end)
-    if cache is not None and key in cache:
-        return cache[key]
+    # .get, not `in`+[]: a concurrent _cache_put FIFO eviction between
+    # the two would raise KeyError on a hit
+    if cache is not None:
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
     seqs = [database.get_encoded(i) for i in range(start, end)]
     packed = pack_sequences_flat(seqs, lanes=lanes)
     _cache_put(cache, key, packed)
@@ -341,8 +345,10 @@ def pack_database_slice(database, start: int, end: int) -> PackedDatabase:
     """
     cache = getattr(database, "_pack_cache", None)
     key = (database.get_version(), start, end)
-    if cache is not None and key in cache:
-        return cache[key]
+    if cache is not None:
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
     seqs = [database.get_encoded(i) for i in range(start, end)]
     packed = pack_sequences(seqs)
     _cache_put(cache, key, packed)

@@ -49,8 +49,8 @@ def _round_up_128(n: int) -> int:
     return ((n + 127) // 128) * 128
 
 
-@partial(jax.jit, static_argnames=("algorithm",))
-def _dir_matrix_batch(prof_t, targets, go, ge, algorithm):
+@partial(jax.jit, static_argnames=("algorithm", "int_lookup"))
+def _dir_matrix_batch(prof_t, targets, go, ge, algorithm, int_lookup=False):
     """Packed direction matrices for a padded batch of pairs.
 
     ``prof_t``: (Q, A) int32 profile; ``targets``: (B, T_pad) int32.
@@ -59,6 +59,12 @@ def _dir_matrix_batch(prof_t, targets, go, ge, algorithm):
     op block (the profile lookup is a one-hot contraction, not a
     per-pair gather), with the same exact prefix-max F formulation as
     the XLA engine; gap-open bits are derived algebraically.
+
+    The f32 one-hot lookup sums exactly one nonzero product, so it is
+    exact whenever the matrix entries themselves are f32-representable
+    (|s| < 2**24); ``int_lookup=True`` (set by the caller for larger
+    matrices) switches to an integer gather so the direction matrix
+    never diverges from the int32 DP.
     """
     spec = ALGORITHMS[algorithm]
     Q, A = prof_t.shape
@@ -80,12 +86,15 @@ def _dir_matrix_batch(prof_t, targets, go, ge, algorithm):
         H, E = carry
         sym, j = xs  # sym: (B,), j: scalar
 
-        onehot = (
-            sym[None, :] == jnp.arange(A, dtype=jnp.int32)[:, None]
-        ).astype(jnp.float32)
-        prof_col = jnp.dot(
-            prof_f, onehot, preferred_element_type=jnp.float32
-        ).astype(jnp.int32)  # (Q, B)
+        if int_lookup:
+            prof_col = jnp.take(prof_t, sym, axis=1)  # (Q, B) exact
+        else:
+            onehot = (
+                sym[None, :] == jnp.arange(A, dtype=jnp.int32)[:, None]
+            ).astype(jnp.float32)
+            prof_col = jnp.dot(
+                prof_f, onehot, preferred_element_type=jnp.float32
+            ).astype(jnp.int32)  # (Q, B)
 
         E_new = jnp.maximum(H - go, E - ge)
         e_open = (H - go) >= (E - ge)  # tie -> open, like the oracle
@@ -371,7 +380,15 @@ def full_alignments_batch(
             tgt[k, : len(seq)] = seq
             tlen[k] = len(seq)
         dirs_dev = _dir_matrix_batch(
-            prof_dev, jnp.asarray(tgt), int(go), int(ge), algorithm
+            prof_dev,
+            jnp.asarray(tgt),
+            int(go),
+            int(ge),
+            algorithm,
+            # entries beyond the f32-exact window would corrupt the
+            # one-hot lookup (and therefore the walked alignment): use
+            # the exact integer gather instead
+            int_lookup=bool(np.abs(S).max(initial=0) >= 2**24),
         )
         # the walk runs on device too: reading the direction matrices
         # back costs ~25x their compute on the remote-attached link
@@ -423,12 +440,16 @@ def full_alignments_batch(
             tarr = np.asarray(target)
             mism = query_enc[qpos[m]] != tarr[tpos[m]]
             ops[m[mism]] = OP_MISMATCH
-            # the walked path must span exactly [qs, qe] x [ts, te]
+            # the walked path must span exactly [qs, qe] x [ts, te] —
+            # a kernel/traceback divergence guard that, like
+            # engine._full_rows_for's score cross-check, must fire
+            # under -O too (never a bare assert)
             qi = qs + int(consumes_q.sum())
             ti = ts + int(consumes_t.sum())
-            assert qi == qe + 1 and ti == te + 1, (
-                f"inconsistent traceback span for target {i}: "
-                f"walked to ({qi},{ti}), expected ({qe + 1},{te + 1})"
-            )
+            if qi != qe + 1 or ti != te + 1:
+                raise RuntimeError(
+                    f"inconsistent traceback span for target {i}: "
+                    f"walked to ({qi},{ti}), expected ({qe + 1},{te + 1})"
+                )
             out[i] = (score, qs, ts, qe, te, ops)
     return out

@@ -57,8 +57,10 @@ def _pack_sharded_cached(
         end,
         database.get_version(),
     )
-    if cache is not None and key in cache:
-        return cache[key]
+    if cache is not None:
+        hit = cache.get(key)
+        if hit is not None:
+            return hit
     seqs = [database.get_encoded(i) for i in range(start, end)]
     packed = sfm.pack_flat_sharded(
         seqs, n_shards, lanes=lanes, local_shards=local_shards

@@ -164,3 +164,50 @@ def test_writer_not_starved_by_reader_stream():
         stop.set()
         for t in threads:
             t.join()
+
+
+def test_slice_does_not_deadlock_against_queued_writer():
+    """db[a:b] must not nest read-lock acquisition: with the
+    writer-preferring SharedMutex, a queued writer between the outer
+    and nested acquisition deadlocks both threads (regression)."""
+    import threading
+
+    db = Database(["AAAA", "CCCC", "KKKK", "FFFF"])
+    start = threading.Barrier(3, timeout=10)
+    done = []
+
+    def slicer():
+        start.wait()
+        for _ in range(200):
+            sub = db[0:2]
+            assert len(sub) >= 1
+        done.append("slice")
+
+    def writer():
+        start.wait()
+        for _ in range(200):
+            db.append("GGGG")
+        done.append("write")
+
+    threads = [
+        threading.Thread(target=slicer, daemon=True),
+        threading.Thread(target=writer, daemon=True),
+    ]
+    for t in threads:
+        t.start()
+    start.wait()
+    for t in threads:
+        t.join(timeout=30)
+    assert done.count("slice") == 1 and done.count("write") == 1, (
+        "slice/append deadlocked"
+    )
+
+
+def test_extend_is_atomic_single_version_bump():
+    db = Database(["AAAA"])
+    v0 = db.get_version()
+    db.extend(["CCCC", "GGGG", "TTTT"])
+    assert db.get_version() == v0 + 1
+    assert list(db) == ["AAAA", "CCCC", "GGGG", "TTTT"]
+    db.extend([])
+    assert db.get_version() == v0 + 1

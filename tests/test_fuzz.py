@@ -66,6 +66,51 @@ def test_engine_matches_oracle_random_config(seed):
             ), (seed, i)
 
 
+def _score_from_ops(q, t, qs, ts, ops, S, go, ge, algo):
+    """Independent rescoring of a traceback path: substitution scores
+    for M/X, gap costs over maximal D/I runs.  An interior gap run of
+    length N costs ``go + (N-1)*min(go, ge)`` (the DP can re-open
+    from the gap cell itself when go < ge); a LEADING run lying on a
+    penalized init boundary costs the closed-form ``go + (N-1)*ge``
+    (there is no cell to re-open from outside the matrix).  Validates
+    that the reported score, coordinates and op string are mutually
+    consistent (the engine's kernel-vs-traceback cross-check cannot
+    catch a path that is internally wrong but ends at the right
+    cell)."""
+    score = 0
+    qi, ti = qs, ts
+    prev = -1
+    k = 0
+    # leading boundary run: D ops in DP column 0 (nw/hw penalize the
+    # first column), or I ops in DP row 0 (nw penalizes the first row)
+    if len(ops) and ops[0] == 1 and ts == 0 and algo in ("nw", "hw"):
+        while k < len(ops) and ops[k] == 1:
+            k += 1
+        score -= go + (k - 1) * ge
+        qi += k
+        prev = 1
+    elif len(ops) and ops[0] == 2 and qs == 0 and algo == "nw":
+        while k < len(ops) and ops[k] == 2:
+            k += 1
+        score -= go + (k - 1) * ge
+        ti += k
+        prev = 2
+    for op in ops[k:]:
+        op = int(op)
+        if op in (0, 3):  # match / mismatch
+            score += int(S[q[qi], t[ti]])
+            qi += 1
+            ti += 1
+        else:
+            score -= go if prev != op else min(go, ge)
+            if op == 1:
+                qi += 1
+            else:
+                ti += 1
+        prev = op
+    return score
+
+
 @pytest.mark.parametrize("seed", range(100, 108))
 def test_batched_full_mode_matches_oracle_random_config(seed):
     """Seeded fuzz for the batched full-mode front-ends: align_batch
@@ -98,6 +143,10 @@ def test_batched_full_mode_matches_oracle_random_config(seed):
             assert (hit._query_start, hit._target_start) == (wqs, wts)
             assert (hit.query_end, hit.target_end) == (wqe, wte)
             assert np.array_equal(hit._ops, wops), (seed, qi, ti)
+            if len(wops) or algo == "sw":
+                assert ws == _score_from_ops(
+                    q, enc(t), wqs, wts, wops, S, go, ge, algo
+                ), (seed, qi, ti)
             assert arrays["scores"][qi, ti] == ws
             assert arrays["query_starts"][qi, ti] == wqs
             assert arrays["target_starts"][qi, ti] == wts
