@@ -6,7 +6,7 @@ PAM30/PAM70/PAM120 (half-bit) and PAM250 (third-bit) tables pins the
 chain's exact log-odds at that power into the score's half-unit
 rounding interval, and the chain is the feasible point nearest the
 printed Dayhoff (1978) PAM1 matrix (see experiments/fit_pam2.py for
-the fit and the regeneration proof).  `pam_exact_scores` regenerates
+the fit and the regeneration proof).  `pam_scores` regenerates
 those four published tables bit-exactly, which is asserted by
 tests/test_matrices.py; tables at other PAM distances come from the
 same chain.

@@ -116,7 +116,10 @@ class Alphabet:
             return False
 
     def __hash__(self) -> int:
-        return hash((Alphabet, self.letters))
+        # hash like the letters string: __eq__ compares equal to plain
+        # strings (reference parity), and the eq/hash contract then
+        # requires equal hashes — {"ACGT": 1}[Alphabet("ACGT")] works
+        return hash(self.letters)
 
     # --- Encoding ----------------------------------------------------------
 
@@ -126,6 +129,15 @@ class Alphabet:
         out = np.frombuffer(memoryview(encoded), dtype=np.uint8)
         if seq.shape[0] != out.shape[0]:
             raise ValueError("Buffers do not have the same dimensions")
+        if (
+            _native_encoder is not None
+            and seq.flags["C_CONTIGUOUS"]
+            and out.flags["C_CONTIGUOUS"]
+        ):
+            # zero-copy native path: validates and writes straight
+            # into the caller's buffer
+            _native_encoder.encode_into(seq, out, self._ahash)
+            return
         out[: seq.shape[0]] = self._encode_array(seq)
 
     def decode_into(self, encoded, sequence) -> None:

@@ -16,6 +16,7 @@ one-hot MXU matmul in the Pallas kernel.
 from __future__ import annotations
 
 import math
+import operator
 
 import numpy as np
 
@@ -371,6 +372,12 @@ class ScoringMatrix:
             return cls.pam(int(key[3:]))
         if key.startswith("VTML") and key[4:].isdigit():
             return cls.vtml(int(key[4:]))
+        # "PAM{n}/{d}" — the name `pam()` gives non-default-scale
+        # tables, so their repr() round-trips
+        if key.startswith("PAM") and key.count("/") == 1:
+            n_s, d_s = key[3:].split("/")
+            if n_s.isdigit() and d_s.isdigit():
+                return cls.pam(int(n_s), int(d_s))
         raise ValueError(
             f"unknown matrix name: {name!r} "
             f"(available: {', '.join(sorted(_TABLES))}, any PAM10..."
@@ -412,6 +419,7 @@ class ScoringMatrix:
             True
 
         """
+        n = operator.index(n)  # 250.0 must not silently truncate
         if not 1 <= n <= 500:
             raise ValueError(f"PAM distance out of range [1, 500]: {n}")
         default_denominator = 2 if n <= 170 else 3
@@ -475,6 +483,7 @@ class ScoringMatrix:
             True
 
         """
+        n = operator.index(n)  # 80.0 must not bypass the anchor table
         if not 1 <= n <= 500:
             raise ValueError(f"VTML distance out of range [1, 500]: {n}")
         key = f"VTML{n}"

@@ -31,10 +31,14 @@ def search_stats(database, start: int = 0, end: int | None = None) -> dict:
     """Packing efficiency stats for a database slice."""
     from ..ops import packing
 
+    if start < 0:
+        raise IndexError("database slice start cannot be negative")
     with database.lock.read:
         size = database.get_size()
         if end is None or end > size:
             end = size
+        if end < start:
+            raise IndexError("database slice end is lower than start")
         fp = packing.pack_database_slice_flat(database, start, end)
     true_cells = fp.total_cells
     padded = fp.total_cells_padded

@@ -128,3 +128,29 @@ def test_decode_memoryview():
 def test_decode_invalid_index():
     with pytest.raises(ValueError):
         Alphabet("ATGC").decode(bytes([0, 7]))
+
+
+def test_hash_consistent_with_string_equality():
+    # __eq__ compares equal to plain strings (reference parity), so
+    # the eq/hash contract requires equal hashes
+    from pyopal_tpu import Alphabet
+
+    a = Alphabet("ACGT")
+    assert a == "ACGT" and hash(a) == hash("ACGT")
+    assert {"ACGT": 1}[a] == 1
+    assert len({a, "ACGT"}) == 1
+
+
+def test_encode_into_native_parity():
+    from pyopal_tpu import Alphabet
+
+    a = Alphabet("ACGT")
+    buf = bytearray(4)
+    a.encode_into(b"ACGT", buf)
+    assert bytes(buf) == bytes([0, 1, 2, 3])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        a.encode_into(b"ACGZ", bytearray(4))
+    with _pytest.raises(ValueError):
+        a.encode_into(b"ACG", bytearray(4))

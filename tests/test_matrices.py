@@ -384,3 +384,20 @@ class TestVtmlGenerator:
         db = po.Database(["MKTAYIAKQR"], alphabet=ScoringMatrix.vtml(120).alphabet)
         hits = po.Aligner("VTML120").align("MKTAYIAKQR", db, algorithm="nw")
         assert hits[0].score > 0
+
+
+def test_family_distances_must_be_integral():
+    # 80.0 would silently bypass the VTML80 anchor table; 250.0 would
+    # crash matrix_power with an opaque error
+    with pytest.raises(TypeError):
+        ScoringMatrix.vtml(80.0)
+    with pytest.raises(TypeError):
+        ScoringMatrix.pam(250.0)
+
+
+def test_pam_nondefault_scale_repr_roundtrip():
+    m = ScoringMatrix.pam(250, 2)
+    assert m.name == "PAM250/2"
+    assert ScoringMatrix.from_name("PAM250/2") == m
+    with pytest.raises(ValueError):
+        ScoringMatrix.from_name("PAM250/x")
