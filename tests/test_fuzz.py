@@ -43,7 +43,7 @@ def _case(seed):
     return matrix, go, ge, algo, mode, targets, query
 
 
-@pytest.mark.parametrize("seed", range(24))
+@pytest.mark.parametrize("seed", range(32))
 def test_engine_matches_oracle_random_config(seed):
     matrix, go, ge, algo, mode, targets, query = _case(seed)
     db = po.Database(targets, alphabet=matrix.alphabet)
@@ -111,7 +111,7 @@ def _score_from_ops(q, t, qs, ts, ops, S, go, ge, algo):
     return score
 
 
-@pytest.mark.parametrize("seed", range(100, 108))
+@pytest.mark.parametrize("seed", range(100, 112))
 def test_batched_full_mode_matches_oracle_random_config(seed):
     """Seeded fuzz for the batched full-mode front-ends: align_batch
     full == per-pair oracle traceback scores/coords, and the columnar

@@ -177,3 +177,40 @@ def test_q8_narrow_pass_exact_or_flagged():
                 else:
                     assert ns == row[ti], (qi, ti, row[ti], ns)
     assert n_flagged >= 1  # the self-hit must flag
+
+
+def test_q8_narrow_rejects_unsupported_configs():
+    """narrow=True must hard-error (not silently compute) outside its
+    sound domain: non-sw algorithms, ends mode, out-of-window gaps."""
+    import jax.numpy as jnp
+
+    from pyopal_tpu.ops import packing
+    from pyopal_tpu.ops import pallas_q8 as q8
+
+    rng = np.random.default_rng(3)
+    seqs = [rng.integers(0, 20, 30).astype(np.uint8)]
+    queries = [rng.integers(0, 20, 20).astype(np.uint8)]
+    fp = packing.pack_sequences_flat(seqs)
+    groups = q8.plan_groups([len(q) for q in queries])
+    profs, qv, maxq = q8.make_profiles_q8_host(queries, S, groups)
+    args = (
+        jnp.asarray(profs, jnp.bfloat16),
+        jnp.asarray(qv),
+        jnp.asarray(maxq),
+        jnp.asarray(fp.flat_targets),
+        jnp.asarray(fp.lengths),
+        jnp.asarray(fp.block_of_step),
+        jnp.asarray(fp.chunk_of_step),
+        jnp.asarray(fp.last_of_step),
+    )
+    for bad in (
+        dict(go=3, ge=1, algo="nw", with_ends=False),
+        dict(go=3, ge=1, algo="sw", with_ends=True),
+        dict(go=300, ge=1, algo="sw", with_ends=False),
+    ):
+        with pytest.raises(ValueError):
+            q8.search_flat_q8(
+                *args, bad["go"], bad["ge"], bad["algo"],
+                bad["with_ends"], interpret=True, chunk=fp.chunk,
+                narrow=True,
+            )
