@@ -8,8 +8,9 @@ Mirrors the reference's in-wheel test package
 
 Coverage on an installed artifact: golden answers (the reference
 suite's pinned numbers), container and alphabet semantics, result
-classes, the threaded front-end, the matrix catalog, and one
-interpret-mode kernel cross-check against the scalar oracle.  The
+classes, the threaded front-end, the matrix catalog, every public
+module's docstring examples, and one interpret-mode kernel
+cross-check against the scalar oracle.  The
 full development suite (engine sweeps, sharded mesh equality, IO,
 docs) lives in the repository's ``tests/`` directory.
 """
@@ -20,6 +21,7 @@ from . import (
     test_align,
     test_alphabet,
     test_database,
+    test_doctest,
     test_engine,
     test_matrices,
     test_result,
@@ -31,6 +33,7 @@ _MODULES = [
     test_align,
     test_alphabet,
     test_database,
+    test_doctest,
     test_engine,
     test_matrices,
     test_result,
