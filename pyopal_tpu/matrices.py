@@ -308,6 +308,14 @@ _TABLES.update(_EXTRA_TABLES)
 #: runtime catalog of user-registered matrices (`ScoringMatrix.register`)
 _REGISTERED: dict = {}
 
+#: published families that cannot be bundled offline: their tables are
+#: estimated directly from alignment corpora (Pfam seeds, structural
+#: superpositions, ...) with no generative evolutionary chain to
+#: re-derive them from, unlike PAM (Dayhoff chain) and VTML (VT chain).
+#: `from_name` recognizes these prefixes and raises a targeted error
+#: pointing at the `from_file`/`register` migration path.
+_EXTERNAL_FAMILIES = ("PFASUM", "GONNET", "MIQS", "BENNER", "JOHNSON")
+
 
 def _parse(table: str) -> np.ndarray:
     rows = [
@@ -378,6 +386,19 @@ class ScoringMatrix:
             n_s, d_s = key[3:].split("/")
             if n_s.isdigit() and d_s.isdigit():
                 return cls.pam(int(n_s), int(d_s))
+        for family in _EXTERNAL_FAMILIES:
+            if key.startswith(family):
+                raise ValueError(
+                    f"matrix {name!r} is not bundled: the {family} "
+                    f"family is estimated from alignment corpora and "
+                    f"has no generative model to re-derive it from "
+                    f"(unlike the PAM/VTML chains), so bundling it "
+                    f"requires the published table.  Load it with "
+                    f"ScoringMatrix.from_file(path) (NCBI/EMBOSS text "
+                    f"format) and optionally "
+                    f"ScoringMatrix.register(matrix, {name!r}) to make "
+                    f"this name resolvable"
+                )
         raise ValueError(
             f"unknown matrix name: {name!r} "
             f"(available: {', '.join(sorted(_TABLES))}, any PAM10..."

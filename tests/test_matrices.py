@@ -21,6 +21,27 @@ def test_from_name_unknown():
         ScoringMatrix.from_name("NOPE99")
 
 
+def test_from_name_external_family_guidance():
+    # known published-but-not-derivable families get a targeted error
+    # naming the from_file/register migration path
+    for name in ("PFASUM60", "GONNET", "MIQS", "BENNER74"):
+        with pytest.raises(ValueError, match="from_file"):
+            ScoringMatrix.from_name(name)
+        with pytest.raises(ValueError, match="not bundled"):
+            ScoringMatrix.from_name(name)
+    # ... and register() makes the name resolvable afterwards
+    m = ScoringMatrix(
+        np.zeros((24, 24), np.float32), name="PFASUM60"
+    )
+    try:
+        ScoringMatrix.register(m)
+        assert ScoringMatrix.from_name("PFASUM60") == m
+    finally:
+        from pyopal_tpu.matrices import _REGISTERED
+
+        _REGISTERED.pop("PFASUM60", None)
+
+
 def test_all_bundled_are_valid():
     for name in ScoringMatrix.available_matrices():
         m = ScoringMatrix.from_name(name)
