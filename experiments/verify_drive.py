@@ -81,4 +81,39 @@ for algo in ("sw", "nw", "hw", "ov"):
             if t:
                 assert (r.query_end, r.target_end) == (nqe, nte), (algo, qi, ti)
 print("batched q8 path (9 queries, 4 algorithms): scores+ends == oracle")
+
+# 6. seeded random-contents sweep at FIXED shapes: every trial reuses
+# the compiled shapes above (same query-length multiset, same DB
+# length multiset, gap 3/1) while the matrix entries and every residue
+# are re-randomized — hardware-exactness evidence the interpret-mode
+# CPU fuzz (tests/test_fuzz.py) cannot give, at zero extra compiles.
+alphabet = "ARNDCQEGHILKMFPSTWYVBZX*"
+for trial in range(6):
+    tr = np.random.default_rng(1000 + trial)
+    M = tr.integers(-8, 13, (24, 24))
+    M = np.tril(M) + np.tril(M, -1).T  # symmetric, int
+    mat = ScoringMatrix(M.astype(np.float32), alphabet)
+    alx = po.Aligner(mat)
+    t_seqs = [
+        "".join(letters[i] for i in tr.integers(0, 20, len(s)))
+        for s in db_seqs
+    ]
+    t_qs = [
+        "".join(letters[i] for i in tr.integers(0, 20, len(q)))
+        for q in queries9
+    ]
+    t_db = po.Database(t_seqs)
+    Mint = mat.int_data()
+    algo = ("sw", "nw", "hw", "ov")[trial % 4]
+    batch = alx.align_batch(t_qs, t_db, mode="end", algorithm=algo)
+    for qi, q in enumerate(t_qs):
+        for ti, t in enumerate(t_seqs):
+            ns, nqe, nte = naive.score_end(enc(q), enc(t), Mint, 3, 1, algo)
+            r = batch[qi][ti]
+            assert r.score == ns, (trial, algo, qi, ti, r.score, ns)
+            if t:
+                assert (r.query_end, r.target_end) == (nqe, nte), (
+                    trial, algo, qi, ti,
+                )
+print("random-matrix sweep (6 seeded trials, fixed shapes): == oracle")
 print("ALL DRIVES PASSED")

@@ -24,7 +24,7 @@ Example:
 
 """
 
-__version__ = "0.5.0"
+__version__ = "0.5.1"
 __author__ = "pyopal_tpu developers"
 __license__ = "MIT"
 __all__ = [

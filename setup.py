@@ -13,7 +13,7 @@ from setuptools import Extension, setup
 
 setup(
     name="pyopal-tpu",
-    version="0.5.0",
+    version="0.5.1",
     packages=[
         "pyopal_tpu",
         "pyopal_tpu.models",
