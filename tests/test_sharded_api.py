@@ -434,3 +434,41 @@ def test_route_follows_mesh_devices_not_default_backend():
     from pyopal_tpu.parallel.mesh import device_mesh
 
     assert papi._mesh_platform(device_mesh()) == "cpu"
+
+
+def test_seeded_random_config_sweep():
+    # seeded property sweep over the mesh front-end: random symmetric
+    # matrices, gap params (incl. ge > go), modes, algorithms and slice
+    # args must all equal the single-device columnar API bit-for-bit
+    from pyopal_tpu import ScoringMatrix
+
+    alphabet = "ARNDCQEGHILKMFPSTWYVBZX*"
+    for trial in range(6):
+        rng = np.random.default_rng(3000 + trial)
+        pyr = random.Random(3000 + trial)
+        M = rng.integers(-9, 13, (24, 24))
+        M = np.tril(M) + np.tril(M, -1).T
+        mat = ScoringMatrix(M.astype(np.float32), alphabet)
+        db = _random_db(
+            int(rng.integers(20, 90)), 1, int(rng.integers(20, 120)),
+            seed=pyr.randint(0, 10**6),
+        )
+        queries = _random_queries(
+            int(rng.integers(1, 10)), 5, 70, seed=pyr.randint(0, 10**6)
+        )
+        go, ge = int(rng.integers(0, 6)), int(rng.integers(0, 6))
+        mode = ("score", "end", "full")[trial % 3]
+        algorithm = ("sw", "nw", "hw", "ov")[trial % 4]
+        start = int(rng.integers(0, 3))
+        end = int(rng.integers(len(db) - 2, len(db) + 2))
+        _check(
+            queries,
+            db,
+            scoring_matrix=mat,
+            gap_open=go,
+            gap_extend=ge,
+            mode=mode,
+            algorithm=algorithm,
+            start=start,
+            end=end,
+        )
