@@ -197,6 +197,16 @@ def load_database(path):
             f"{payload.shape[0]} residues but lengths sum to "
             f"{int(lengths.sum(initial=0))})"
         )
+    if payload.size and int(payload.max()) >= len(letters):
+        # out-of-range codes would not fail loudly downstream: the
+        # kernels' one-hot profile lookup scores them as all-zero
+        # columns (and jit-mode take clips), silently corrupting
+        # results instead of raising
+        raise ValueError(
+            f"{path!r}: corrupt archive (encoded symbol "
+            f"{int(payload.max())} outside the {len(letters)}-letter "
+            f"alphabet)"
+        )
     db = Database(alphabet=letters)
     offsets = np.concatenate([[0], np.cumsum(lengths)])
     with db.lock.write:

@@ -178,3 +178,17 @@ def test_load_database_rejects_corrupt_archive(tmp_path):
     )
     with pytest.raises(ValueError, match="corrupt"):
         load_database(path)
+
+
+def test_load_database_rejects_out_of_alphabet_codes(tmp_path):
+    """Codes beyond the alphabet must fail loudly: the kernels' one-hot
+    profile lookup would silently score them as all-zero columns."""
+    path = str(tmp_path / "oob.npz")
+    np.savez_compressed(
+        path,
+        payload=np.array([0, 1, 7], np.uint8),  # 7 >= len("ACGT")
+        lengths=np.array([3], np.int64),
+        alphabet=np.frombuffer(b"ACGT", dtype=np.uint8),
+    )
+    with pytest.raises(ValueError, match="alphabet"):
+        load_database(path)
